@@ -1,0 +1,695 @@
+"""Geography-value operations: predicates, distance, accessors, coverings.
+
+From-scratch spherical implementations matching the reference's observable
+semantics:
+  * predicates: /root/reference/src/s2geography/predicates.cc:117-552
+    (CLOSED polygon model — boundary counts as inside for intersects;
+    EMPTY handling: intersects(EMPTY, x)=false :128-131, contains empties
+    -> false :300-303, equals both-EMPTY -> true :463-467)
+  * distance:   /root/reference/src/s2geography/distance.cc:543-790
+    (null on empty input :546-549; dwithin threshold semantics :746-774)
+  * accessors:  /root/reference/src/s2geography/accessors.cc (area/length/
+    perimeter), accessors-geog.cc:243-337 (centroid)
+  * coverings:  /root/reference/src/s2geography/coverings.cc:215-272
+    (point -> its own leaf cell; else adaptive covering with max_cells=8)
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional
+
+import numpy as np
+
+from . import cellid as C
+from . import sphere
+from .geog import Geog
+
+EARTH_RADIUS_METERS = sphere.EARTH_RADIUS_METERS
+
+# touch tolerance in radians (~6 micrometers on Earth); the reference's exact
+# predicates use robust arithmetic — float WKB inputs make an epsilon model
+# equivalent for non-adversarial data.
+EPS_RAD = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# distance (min / max) between two geographies
+# ---------------------------------------------------------------------------
+
+def _min_pairwise_angle(pa, pb):
+    if len(pa) == 0 or len(pb) == 0:
+        return np.inf
+    return float(sphere.angle(pa[:, None, :], pb[None, :, :]).min())
+
+
+def _min_point_edges(p, ea, eb):
+    if len(p) == 0 or len(ea) == 0:
+        return np.inf
+    return float(sphere.point_arc_distance(p[:, None, :], ea[None, :, :],
+                                           eb[None, :, :]).min())
+
+
+def _edges_cross_any(ea1, eb1, ea2, eb2):
+    if len(ea1) == 0 or len(ea2) == 0:
+        return False
+    return bool(sphere.arcs_cross(ea1[:, None, :], eb1[:, None, :],
+                                  ea2[None, :, :], eb2[None, :, :]).any())
+
+
+def _min_edges_edges(ea1, eb1, ea2, eb2):
+    if len(ea1) == 0 or len(ea2) == 0:
+        return np.inf
+    return float(sphere.arc_arc_distance(
+        ea1[:, None, :], eb1[:, None, :],
+        ea2[None, :, :], eb2[None, :, :]).min())
+
+
+def _any_point_in_polys(pts_xyz, g: Geog, model="closed"):
+    ra, rb = g.ring_edges_xyz()
+    if len(ra) == 0 or len(pts_xyz) == 0:
+        return False
+    return bool(sphere.contains_points(pts_xyz, ra, rb, model=model).any())
+
+
+def s2_distance_radians(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[float]:
+    """Min geodesic distance in radians; None if either side empty/null
+    (distance.cc:546-549, 628-630)."""
+    if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
+        return None
+    p1 = g1.points_xyz()
+    p2 = g2.points_xyz()
+    e1a, e1b = g1.all_edges_xyz()
+    e2a, e2b = g2.all_edges_xyz()
+
+    d = min(
+        _min_pairwise_angle(p1, p2),
+        _min_point_edges(p1, e2a, e2b),
+        _min_point_edges(p2, e1a, e1b),
+        _min_edges_edges(e1a, e1b, e2a, e2b),
+    )
+    # interior containment -> 0.  If no boundary contact (d > 0), each
+    # connected component of a side is fully inside or fully outside the
+    # other's polygons, so testing every vertex covers all components.
+    if d > 0:
+        v2 = g2.all_vertices_xyz()
+        if len(v2) and _any_point_in_polys(v2, g1):
+            d = 0.0
+    if d > 0:
+        v1 = g1.all_vertices_xyz()
+        if len(v1) and _any_point_in_polys(v1, g2):
+            d = 0.0
+    return float(d)
+
+
+def s2_distance(g1, g2) -> Optional[float]:
+    """Meters (radians * R), reference st_distance (distance.cc:620-636)."""
+    d = s2_distance_radians(g1, g2)
+    return None if d is None else d * EARTH_RADIUS_METERS
+
+
+def s2_max_distance_radians(g1, g2) -> Optional[float]:
+    """Max distance incl. antipodal case (distance.cc:171-232, 638-654).
+
+    max d(p, q) = pi - min d(p, -q): reflect g2 and take min distance."""
+    if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
+        return None
+    g2r = _reflect(g2)
+    d = s2_distance_radians(g1, g2r)
+    return None if d is None else float(np.pi - d)
+
+
+def s2_max_distance(g1, g2) -> Optional[float]:
+    d = s2_max_distance_radians(g1, g2)
+    return None if d is None else d * EARTH_RADIUS_METERS
+
+
+def _reflect(g: Geog) -> Geog:
+    """Antipodal reflection (lon+180 mirrored, lat negated)."""
+    def refl(c):
+        c = np.asarray(c, dtype=np.float64).reshape(-1, 2)
+        lng = np.where(c[:, 0] > 0, c[:, 0] - 180.0, c[:, 0] + 180.0)
+        return np.stack([lng, -c[:, 1]], axis=-1)
+    return Geog(points=refl(g.points) if len(g.points) else None,
+                lines=[refl(l) for l in g.lines],
+                polys=[[refl(r)[::-1] for r in rings] for rings in g.polys])
+
+
+def s2_dwithin(g1, g2, distance_m: float) -> Optional[bool]:
+    """distance(a,b) <= d; negative d -> false (distance.cc:746-774)."""
+    if g1 is None or g2 is None:
+        return None
+    if distance_m < 0:
+        return False
+    d = s2_distance(g1, g2)
+    if d is None:
+        return False
+    return bool(d <= distance_m)
+
+
+# ---------------------------------------------------------------------------
+# closest / shortest / longest (distance.cc:585-744)
+# ---------------------------------------------------------------------------
+
+def _closest_pair(g1: Geog, g2: Geog):
+    """(p1, p2) xyz achieving min distance (non-empty inputs)."""
+    best = (np.inf, None, None)
+    p1 = g1.points_xyz()
+    p2 = g2.points_xyz()
+    e1a, e1b = g1.all_edges_xyz()
+    e2a, e2b = g2.all_edges_xyz()
+
+    if len(p1) and len(p2):
+        dm = sphere.angle(p1[:, None, :], p2[None, :, :])
+        i, j = np.unravel_index(np.argmin(dm), dm.shape)
+        if dm[i, j] < best[0]:
+            best = (float(dm[i, j]), p1[i], p2[j])
+    if len(p1) and len(e2a):
+        dm = sphere.point_arc_distance(p1[:, None, :], e2a[None, :, :], e2b[None, :, :])
+        i, j = np.unravel_index(np.argmin(dm), dm.shape)
+        if dm[i, j] < best[0]:
+            q = sphere.closest_point_on_arc(p1[i], e2a[j], e2b[j])
+            best = (float(dm[i, j]), p1[i], q)
+    if len(p2) and len(e1a):
+        dm = sphere.point_arc_distance(p2[:, None, :], e1a[None, :, :], e1b[None, :, :])
+        i, j = np.unravel_index(np.argmin(dm), dm.shape)
+        if dm[i, j] < best[0]:
+            q = sphere.closest_point_on_arc(p2[i], e1a[j], e1b[j])
+            best = (float(dm[i, j]), q, p2[i])
+    if len(e1a) and len(e2a):
+        dm = sphere.arc_arc_distance(e1a[:, None, :], e1b[:, None, :],
+                                     e2a[None, :, :], e2b[None, :, :])
+        i, j = np.unravel_index(np.argmin(dm), dm.shape)
+        if dm[i, j] < best[0]:
+            # candidate endpoints projected to the other arc
+            cands = []
+            for p in (e1a[i], e1b[i]):
+                q = sphere.closest_point_on_arc(p, e2a[j], e2b[j])
+                cands.append((float(sphere.angle(p, q)), p, q))
+            for q in (e2a[j], e2b[j]):
+                p = sphere.closest_point_on_arc(q, e1a[i], e1b[i])
+                cands.append((float(sphere.angle(p, q)), p, q))
+            cands.sort(key=lambda t: t[0])
+            best = (float(dm[i, j]), cands[0][1], cands[0][2])
+    # polygon interior overlap -> degenerate: use any contained vertex
+    if best[0] > 0:
+        for (ga, gb, swap) in ((g1, g2, False), (g2, g1, True)):
+            v = gb.all_vertices_xyz()
+            if len(v):
+                ra, rb = ga.ring_edges_xyz()
+                if len(ra):
+                    inside = sphere.contains_points(v, ra, rb)
+                    if inside.any():
+                        p = v[int(np.argmax(inside))]
+                        best = (0.0, p, p)
+                        break
+    return best
+
+
+def s2_closest_point(g1, g2) -> Optional[Geog]:
+    """Point on g1 nearest g2 (distance.cc:585-618)."""
+    if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
+        return None
+    _, p, _ = _closest_pair(g1, g2)
+    return Geog(points=sphere.xyz_to_lnglat(p).reshape(1, 2))
+
+
+def s2_shortest_line(g1, g2) -> Optional[Geog]:
+    """2-vertex linestring of the closest pair (distance.cc:656-706)."""
+    if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
+        return None
+    _, p, q = _closest_pair(g1, g2)
+    ll = np.vstack([sphere.xyz_to_lnglat(p), sphere.xyz_to_lnglat(q)])
+    return Geog(lines=[ll])
+
+
+def s2_longest_line(g1, g2) -> Optional[Geog]:
+    """2-vertex linestring of the farthest pair (distance.cc:708-744)."""
+    if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
+        return None
+    _, p, qr = _closest_pair(g1, _reflect(g2))
+    q = -np.asarray(qr)
+    ll = np.vstack([sphere.xyz_to_lnglat(p), sphere.xyz_to_lnglat(q)])
+    return Geog(lines=[ll])
+
+
+# ---------------------------------------------------------------------------
+# predicates (predicates.cc)
+# ---------------------------------------------------------------------------
+
+def s2_intersects(g1, g2) -> Optional[bool]:
+    """CLOSED-model intersects; EMPTY -> false (predicates.cc:117-291)."""
+    if g1 is None or g2 is None:
+        return None
+    if g1.is_empty() or g2.is_empty():
+        return False
+    # covering-intersection prefilter analog: cheap bbox-cap reject
+    d = s2_distance_radians(g1, g2)
+    return bool(d is not None and d <= EPS_RAD)
+
+
+def s2_disjoint(g1, g2) -> Optional[bool]:
+    r = s2_intersects(g1, g2)
+    return None if r is None else not r
+
+
+def s2_contains(g1, g2) -> Optional[bool]:
+    """g1 contains g2; empties -> false; only polygonal g1 can contain
+    (predicates.cc:293-419: 'a point contains nothing')."""
+    if g1 is None or g2 is None:
+        return None
+    if g1.is_empty() or g2.is_empty():
+        return False
+    ra, rb = g1.ring_edges_xyz()
+    if len(ra) == 0:
+        return False
+    # all vertices of g2 inside (semi-open boundary model)
+    v = g2.all_vertices_xyz()
+    if len(v) == 0:
+        return False
+    if not sphere.contains_points(v, ra, rb, model="semi_open").all():
+        return False
+    # no g2 edge may cross a ring edge (exit/entry)
+    ea, eb = g2.all_edges_xyz()
+    if _edges_cross_any(ea, eb, ra, rb):
+        return False
+    return True
+
+
+def s2_within(g1, g2) -> Optional[bool]:
+    return s2_contains(g2, g1)
+
+
+def _canon_ring(r: np.ndarray) -> tuple:
+    """Rotation-normalized closed ring -> hashable canonical tuple."""
+    v = np.asarray(r)[:-1]  # drop closing vertex
+    if len(v) == 0:
+        return ()
+    idx = np.lexsort((v[:, 1], v[:, 0]))[0]
+    rolled = np.roll(v, -idx, axis=0)
+    return tuple(map(tuple, rolled))
+
+
+def _canon_line(l: np.ndarray) -> tuple:
+    t = tuple(map(tuple, l))
+    rt = tuple(reversed(t))
+    return min(t, rt)
+
+
+def s2_equals(g1, g2) -> Optional[bool]:
+    """Geometric equality: both empty -> true; ring-rotation equal polygons
+    equal (predicates.cc:452-552 fast paths + fixtures)."""
+    if g1 is None or g2 is None:
+        return None
+    if g1.is_empty() and g2.is_empty():
+        return True
+    if g1.is_empty() != g2.is_empty():
+        return False
+    pts1 = {tuple(p) for p in g1.points}
+    pts2 = {tuple(p) for p in g2.points}
+    if pts1 != pts2:
+        return False
+    l1 = sorted(_canon_line(l) for l in g1.lines if len(l) >= 2)
+    l2 = sorted(_canon_line(l) for l in g2.lines if len(l) >= 2)
+    if l1 != l2:
+        return False
+    r1 = sorted(_canon_ring(r) for rings in g1.polys for r in rings if len(r) >= 4)
+    r2 = sorted(_canon_ring(r) for rings in g2.polys for r in rings if len(r) >= 4)
+    return r1 == r2
+
+
+def s2_touches(g1, g2) -> Optional[bool]:
+    """intersects(CLOSED) && !interiors-intersect (predicates.cc:61-73)."""
+    if g1 is None or g2 is None:
+        return None
+    if not s2_intersects(g1, g2):
+        return False
+    # interiors intersect? any crossing, or vertex strictly inside
+    ea, eb = g2.all_edges_xyz()
+    ra, rb = g1.ring_edges_xyz()
+    if _edges_cross_any(ea, eb, ra, rb):
+        return False
+    for (ga, gb) in ((g1, g2), (g2, g1)):
+        ra2, rb2 = ga.ring_edges_xyz()
+        if len(ra2):
+            v = gb.all_vertices_xyz()
+            if len(v) and sphere.contains_points(v, ra2, rb2, model="open").any():
+                return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# unary accessors
+# ---------------------------------------------------------------------------
+
+def s2_area(g: Optional[Geog]) -> Optional[float]:
+    """Sum of signed ring areas * R^2; non-polygonal -> 0
+    (accessors.cc:292-307; holes negative via CW normalization)."""
+    if g is None:
+        return None
+    total = 0.0
+    for rings in g.polys:
+        for r in rings:
+            if len(r) >= 4:
+                total += sphere.ring_signed_area(sphere.lnglat_to_xyz(r))
+    return total * EARTH_RADIUS_METERS ** 2
+
+
+def s2_length(g: Optional[Geog]) -> Optional[float]:
+    """Sum of line edge lengths * R; lines only (accessors.cc:277-290)."""
+    if g is None:
+        return None
+    total = sum(sphere.polyline_length(sphere.lnglat_to_xyz(l))
+                for l in g.lines if len(l) >= 2)
+    return total * EARTH_RADIUS_METERS
+
+
+def s2_perimeter(g: Optional[Geog]) -> Optional[float]:
+    """Sum over polygon ring edges * R (accessors.cc:309-322)."""
+    if g is None:
+        return None
+    total = sum(sphere.polyline_length(sphere.lnglat_to_xyz(r))
+                for rings in g.polys for r in rings if len(r) >= 2)
+    return total * EARTH_RADIUS_METERS
+
+
+def s2_x(g: Optional[Geog]) -> Optional[float]:
+    """Longitude of single point; NaN otherwise (accessors.cc:168-196)."""
+    if g is None:
+        return None
+    if len(g.points) == 1 and not g.lines and not g.polys:
+        return float(g.points[0, 0])
+    return float("nan")
+
+
+def s2_y(g: Optional[Geog]) -> Optional[float]:
+    if g is None:
+        return None
+    if len(g.points) == 1 and not g.lines and not g.polys:
+        return float(g.points[0, 1])
+    return float("nan")
+
+
+def s2_centroid(g: Optional[Geog]) -> Optional[Geog]:
+    """Dimension-prioritized spherical true centroid
+    (accessors-geog.cc:243-337): polygons beat lines beat points."""
+    if g is None:
+        return None
+    vec = centroid_vector(g)
+    if vec is None or not np.isfinite(vec).all() or np.linalg.norm(vec) == 0:
+        return Geog(typ=1)  # POINT EMPTY
+    p = vec / np.linalg.norm(vec)
+    return Geog(points=sphere.xyz_to_lnglat(p).reshape(1, 2))
+
+
+def centroid_vector(g: Geog) -> Optional[np.ndarray]:
+    """Un-normalized centroid sum (the UDAF-mergeable partial state,
+    accessors-geog.h:16-24)."""
+    if g is None or g.is_empty():
+        return None
+    dim = g.dimension()
+    vec = np.zeros(3)
+    if dim == 2:
+        for rings in g.polys:
+            for r in rings:
+                if len(r) >= 4:
+                    vec += sphere.ring_centroid(sphere.lnglat_to_xyz(r))
+    elif dim == 1:
+        for l in g.lines:
+            if len(l) >= 2:
+                v = sphere.lnglat_to_xyz(l)
+                vec += sphere.arc_true_centroid(v[:-1], v[1:]).sum(axis=0)
+    else:
+        vec = g.points_xyz().sum(axis=0)
+    return vec
+
+
+def s2_bounds(g: Optional[Geog]):
+    """(xmin, ymin, xmax, ymax) degrees, geodesic-bulge aware
+    (coverings.cc:89-211, 274-301). Longitude range may wrap: when the
+    geography crosses the antimeridian the result has xmin > xmax,
+    mirroring S2LatLngRect::lng interval semantics."""
+    if g is None or g.is_empty():
+        return None
+    vs = []
+    if len(g.points):
+        vs.append(g.points)
+    for l in g.lines:
+        vs.append(l)
+    for rings in g.polys:
+        for r in rings:
+            vs.append(r)
+    v = np.vstack(vs)
+    lat_lo, lat_hi = np.radians(v[:, 1]).min(), np.radians(v[:, 1]).max()
+    ea, eb = g.all_edges_xyz()
+    if len(ea):
+        lo, hi = sphere.edge_lat_bounds(ea, eb)
+        lat_lo = min(lat_lo, float(lo.min()))
+        lat_hi = max(lat_hi, float(hi.max()))
+    # pole containment (rings only)
+    ra, rb = g.ring_edges_xyz()
+    if len(ra):
+        poles = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+        inside = sphere.contains_points(poles, ra, rb)
+        if inside[0]:
+            lat_hi = np.pi / 2
+        if inside[1]:
+            lat_lo = -np.pi / 2
+    # longitude interval: handle wrap by finding the largest gap between
+    # edge longitude spans on the circle
+    lngs = np.radians(v[:, 0])
+    if lat_hi >= np.pi / 2 - 1e-15 and lat_lo <= -np.pi / 2 + 1e-15:
+        return (-180.0, np.degrees(lat_lo), 180.0, np.degrees(lat_hi))
+    xmin, xmax = _lng_interval(g, lngs)
+    return (float(xmin), float(np.degrees(lat_lo)),
+            float(xmax), float(np.degrees(lat_hi)))
+
+
+def _lng_interval(g: Geog, vertex_lngs):
+    """Smallest longitude interval covering all edges (edges shorter than pi
+    stay within the short way between endpoint longitudes)."""
+    segs = []  # (lo, hi) possibly wrapped pieces in [-pi, pi]
+    ea, eb = g.all_edges_xyz()
+
+    def add_pair(l1, l2):
+        d = (l2 - l1) % (2 * np.pi)
+        if d <= np.pi:
+            segs.append((l1, l1 + d))
+        else:
+            segs.append((l2, l2 + (2 * np.pi - d)))
+
+    if len(ea):
+        la = np.arctan2(ea[:, 1], ea[:, 0])
+        lb = np.arctan2(eb[:, 1], eb[:, 0])
+        for l1, l2 in zip(la, lb):
+            add_pair(float(l1), float(l2))
+    for l in vertex_lngs:
+        segs.append((float(l), float(l)))
+    # merge on circle: find max gap between segments
+    segs = [(a % (2 * np.pi), (b - a)) for a, b in segs]  # (start, extent)
+    starts = np.array([s for s, _ in segs])
+    exts = np.array([e for _, e in segs])
+    ends = starts + exts
+    order = np.argsort(starts)
+    starts, ends = starts[order], ends[order]
+    # coalesce overlapping
+    merged = []
+    cs, ce = starts[0], ends[0]
+    for s, e in zip(starts[1:], ends[1:]):
+        if s <= ce + 1e-15:
+            ce = max(ce, e)
+        else:
+            merged.append((cs, ce))
+            cs, ce = s, e
+    merged.append((cs, ce))
+    # wrap-around merge
+    if len(merged) > 1 and merged[0][0] + 2 * np.pi <= merged[-1][1] + 1e-15:
+        cs0, ce0 = merged.pop(0)
+        s, e = merged[-1]
+        merged[-1] = (s, max(e, ce0 + 2 * np.pi))
+    if len(merged) == 1:
+        lo, hi = merged[0]
+    else:
+        gaps = []
+        for k in range(len(merged)):
+            nxt = merged[(k + 1) % len(merged)]
+            gap = (nxt[0] - merged[k][1]) % (2 * np.pi)
+            gaps.append((gap, k))
+        gaps.sort(reverse=True)
+        k = gaps[0][1]
+        lo = merged[(k + 1) % len(merged)][0]
+        hi = merged[k][1] + (2 * np.pi if merged[k][1] < lo else 0)
+    lo_d = np.degrees((lo + np.pi) % (2 * np.pi) - np.pi)
+    hi_d = np.degrees((hi + np.pi) % (2 * np.pi) - np.pi)
+    if hi - lo >= 2 * np.pi - 1e-12:
+        return -180.0, 180.0
+    return lo_d, hi_d
+
+
+# ---------------------------------------------------------------------------
+# linear referencing (linear-referencing.cc:85-242)
+# ---------------------------------------------------------------------------
+
+def s2_line_interpolate_point(g: Optional[Geog], fraction: float) -> Optional[Geog]:
+    """Point at fraction in [0,1] along a single linestring; <=0 / >=1 snap
+    to the endpoints (linear-referencing.cc:85-176)."""
+    if g is None:
+        return None
+    lines = [l for l in g.lines if len(l) >= 2]
+    if len(lines) != 1 or len(g.points) or any(g.polys):
+        return None
+    v = sphere.lnglat_to_xyz(lines[0])
+    seg = sphere.angle(v[:-1], v[1:])
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cum[-1]
+    if total == 0:
+        return Geog(points=lines[0][:1])
+    target = np.clip(fraction, 0.0, 1.0) * total
+    k = int(np.searchsorted(cum, target, side="right") - 1)
+    k = min(k, len(seg) - 1)
+    t = (target - cum[k]) / seg[k] if seg[k] > 0 else 0.0
+    p = sphere.arc_interpolate(v[k], v[k + 1], t)
+    return Geog(points=sphere.xyz_to_lnglat(p).reshape(1, 2))
+
+
+def s2_line_locate_point(g: Optional[Geog], pt: Optional[Geog]) -> Optional[float]:
+    """Normalized projection of point onto single linestring
+    (linear-referencing.cc:178-242)."""
+    if g is None or pt is None:
+        return None
+    lines = [l for l in g.lines if len(l) >= 2]
+    if len(lines) != 1 or len(pt.points) != 1:
+        return None
+    p = pt.points_xyz()[0]
+    v = sphere.lnglat_to_xyz(lines[0])
+    a, b = v[:-1], v[1:]
+    d = sphere.point_arc_distance(p, a, b)
+    k = int(np.argmin(d))
+    proj = sphere.closest_point_on_arc(p, a[k], b[k])
+    seg = sphere.angle(a, b)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cum[-1]
+    if total == 0:
+        return 0.0
+    return float((cum[k] + sphere.angle(a[k], proj)) / total)
+
+
+# ---------------------------------------------------------------------------
+# coverings (coverings.cc:215-272) — adaptive region covering
+# ---------------------------------------------------------------------------
+
+def s2_cell_from_point(g: Optional[Geog]) -> Optional[int]:
+    """Point -> level-30 cell id; EMPTY -> None; non-point -> error
+    (coverings.cc:215-233)."""
+    if g is None:
+        return None
+    if g.is_empty():
+        return None
+    if len(g.points) != 1 or g.lines or g.polys:
+        raise ValueError("s2_cellidfrompoint requires a single point")
+    ids = C.from_lnglat(g.points[:, 0], g.points[:, 1])
+    return int(ids.view(np.int64)[0])
+
+
+def _cell_may_intersect_geog(cid: int, g: Geog) -> bool:
+    """Exact-ish cell/geography intersection test for the coverer."""
+    arr = np.array([cid], dtype=np.uint64)
+    rmin, rmax = C.range_min(arr)[0], C.range_max(arr)[0]
+    # 1) any vertex's leaf cell inside this cell's range
+    v = g.all_vertices_xyz()
+    if len(v) == 0:
+        return False
+    leafs = C.from_xyz(v[:, 0], v[:, 1], v[:, 2])
+    if ((leafs >= rmin) & (leafs <= rmax)).any():
+        return True
+    quad = C.cell_vertices_xyz(arr)[0]  # (4,3)
+    qa = quad
+    qb = quad[[1, 2, 3, 0]]
+    # 2) any geog edge crosses a cell edge
+    ea, eb = g.all_edges_xyz()
+    if len(ea) and _edges_cross_any(ea, eb, qa, qb):
+        return True
+    # 3) any cell corner inside a polygon of g
+    ra, rb = g.ring_edges_xyz()
+    if len(ra) and sphere.contains_points(quad, ra, rb).any():
+        return True
+    return False
+
+
+MAX_COVER_LEVEL = 20
+
+
+def s2_covering(g: Optional[Geog], max_cells: int = 8,
+                max_level: int = MAX_COVER_LEVEL) -> Optional[List[int]]:
+    """Adaptive covering: point sets (<=32 pts, no edges) -> one leaf cell
+    per point (geoarrow-geography.cc:846-866 fast path); else subdivide from
+    the 6 faces keeping <= max_cells cells (coverings.cc:235-272 with
+    RegionCoverer max_cells=8 default)."""
+    if g is None:
+        return None
+    if g.is_empty():
+        return []
+    if not g.lines and not g.polys and len(g.points) <= 32:
+        ids = C.from_lnglat(g.points[:, 0], g.points[:, 1])
+        return sorted(set(int(i) for i in ids.view(np.int64)))
+
+    # seed with faces that may intersect
+    heap = []  # (-(level gap) ordering: biggest cells first => level asc)
+    seq = 0
+    for f in range(6):
+        fc = (f << 61) | (1 << 60)
+        if _cell_may_intersect_geog(fc, g):
+            heapq.heappush(heap, (0, seq, fc))
+            seq += 1
+    result = []
+    while heap:
+        lev, _, cid = heapq.heappop(heap)
+        if lev >= max_level:
+            result.append(cid)
+            continue
+        # try subdividing: children that intersect
+        arr = np.array([cid], dtype=np.uint64)
+        kids = [int(C.child(arr, np.array([k]))[0]) for k in range(4)]
+        kids = [k for k in kids if _cell_may_intersect_geog(k, g)]
+        if not kids:
+            result.append(cid)  # shouldn't happen; keep conservative
+            continue
+        if len(result) + len(heap) + len(kids) <= max_cells:
+            for k in kids:
+                heapq.heappush(heap, (lev + 1, seq, k))
+                seq += 1
+        else:
+            result.append(cid)
+    # signed int64 view for Spark LongType
+    return sorted(np.array(sorted(result), dtype=np.uint64).view(np.int64).tolist())
+
+
+def s2_covering_buffered(g: Optional[Geog], radius_m: float,
+                         max_cells: int = 8) -> Optional[List[int]]:
+    """Covering of 'everything within radius' (coverings.cc:80-87 analog):
+    cover the geography, then take each cell at a level where the cell size
+    dominates the radius and union with its 8 neighbors."""
+    if g is None:
+        return None
+    if g.is_empty():
+        return []
+    base = s2_covering(g, max_cells=max_cells)
+    radius_rad = radius_m / EARTH_RADIUS_METERS
+    # level whose min cell width >= radius: kMinWidth ~ 2*sqrt(2)/3 * 2^-level
+    lev = int(np.clip(np.floor(np.log2((2 * np.sqrt(2) / 3) / max(radius_rad, 1e-15))), 0, MAX_COVER_LEVEL))
+    out = set()
+    arr = np.array(base, dtype=np.int64).view(np.uint64)
+    levels = C.level(arr)
+    for cid, l in zip(arr, levels):
+        target = min(int(l), lev)
+        p = C.parent(np.array([cid]), np.array([target]))[0]
+        out.add(int(np.uint64(p)))
+        nbrs = C.edge_neighbors(np.array([p]))[0]
+        for nb in nbrs:
+            out.add(int(np.uint64(nb)))
+            # corner neighbors via neighbors-of-neighbors intersection kept
+            # simple: edge neighbors of edge neighbors at same level
+        for nb in nbrs:
+            for nb2 in C.edge_neighbors(np.array([nb], dtype=np.uint64))[0]:
+                out.add(int(np.uint64(nb2)))
+    return sorted(np.array(sorted(out), dtype=np.uint64).view(np.int64).tolist())
