@@ -1,0 +1,371 @@
+"""Geometry kernels as vectorized pandas UDFs (Arrow batch transfer).
+
+This is the Spark analog of the reference's Sedona UDF layer
+(/root/reference/src/s2geography/sedona_udf/sedona_udf_internal.h:900-1245):
+each UDF receives pandas Series (≈ one ArrowArray), handles nulls by
+propagation (:1076-1084), and reuses decoded/prepared geometries for
+repeated (scalar/broadcast) arguments — the analog of the scalar-prepare
+cache at :849-867.
+
+Hot paths are vectorized:
+  * 21-byte point WKB decode via a single np.frombuffer,
+  * one-polygon × many-points PIP via batched winding numbers.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..core import cellid as C
+from ..core import ops, sphere
+from ..core.geog import Geog, from_wkb, from_wkt, to_wkb, to_wkt
+
+__all__ = [
+    "st_geogfromtext", "st_astext", "st_intersects", "st_contains",
+    "st_within", "st_disjoint", "st_equals", "st_dwithin", "st_distance",
+    "st_maxdistance", "st_closestpoint", "st_shortestline", "st_longestline",
+    "st_area", "st_length", "st_perimeter", "st_x", "st_y", "st_npoints",
+    "st_dimension", "st_isempty", "st_iscollection", "st_centroid",
+    "st_boundingbox", "st_lineinterpolatepoint", "st_linelocatepoint",
+    "s2_cellidfrompoint", "s2_coveringcellids", "s2_coveringcellids_buffered",
+    "point_wkb_columns", "register_sql_functions",
+]
+
+
+# ---------------------------------------------------------------------------
+# decode helpers with per-batch caching
+# ---------------------------------------------------------------------------
+
+_POINT_WKB_LEN = 21
+
+
+def _decode_cache(series: pd.Series) -> list:
+    """Decode a WKB series with caching for repeated byte strings (the
+    broadcast/scalar-argument prepare path)."""
+    cache: dict = {}
+    out = []
+    for b in series:
+        if b is None:
+            out.append(None)
+            continue
+        key = bytes(b)
+        g = cache.get(key)
+        if g is None:
+            g = from_wkb(key)
+            cache[key] = g
+        out.append(g)
+    return out
+
+
+def _fast_points(series: pd.Series):
+    """If every non-null value is little-endian 2D point WKB, return
+    (lng, lat) arrays (NaN at nulls); else None."""
+    vals = series.to_numpy(dtype=object)
+    n = len(vals)
+    lng = np.full(n, np.nan)
+    lat = np.full(n, np.nan)
+    buf = bytearray()
+    idx = []
+    for i, b in enumerate(vals):
+        if b is None:
+            continue
+        if len(b) != _POINT_WKB_LEN or b[0] != 1 or b[1:5] != b"\x01\x00\x00\x00":
+            return None
+        buf += b[5:]
+        idx.append(i)
+    if idx:
+        coords = np.frombuffer(bytes(buf), dtype="<f8").reshape(-1, 2)
+        idx = np.array(idx)
+        lng[idx] = coords[:, 0]
+        lat[idx] = coords[:, 1]
+    return lng, lat
+
+
+def _binary_predicate(fn, vectorized_point_rhs=None):
+    """Build a (wkb, wkb) -> bool pandas UDF with null propagation and an
+    optional fast path when the left side repeats & right side is points."""
+
+    @pandas_udf(T.BooleanType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if vectorized_point_rhs is not None:
+            lhs_unique = a.dropna().unique()
+            pts = _fast_points(b)
+            if pts is not None and 0 < len(lhs_unique) <= 64:
+                out = np.empty(len(a), dtype=object)
+                lng, lat = pts
+                xyz = np.stack(C.lnglat_to_xyz(lng, lat), axis=-1)
+                for key in lhs_unique:
+                    g = from_wkb(bytes(key))
+                    mask = (a == key).to_numpy()
+                    rows = np.where(mask)[0]
+                    valid = rows[~np.isnan(lng[rows])]
+                    res = np.zeros(len(rows), dtype=object)
+                    vr = vectorized_point_rhs(g, xyz[valid])
+                    m = {r: bool(v) for r, v in zip(valid, vr)}
+                    out[rows] = [m.get(r, False) for r in rows]
+                out[a.isna().to_numpy() | b.isna().to_numpy()] = None
+                return pd.Series(out, dtype=object)
+        ga = _decode_cache(a)
+        gb = _decode_cache(b)
+        return pd.Series([fn(x, y) for x, y in zip(ga, gb)], dtype=object)
+
+    return udf
+
+
+def _pip_closed(g: Geog, pts_xyz):
+    """Vectorized closed-model point-in-polygon-or-on-anything for
+    intersects(geog, point)."""
+    if g.is_empty() or len(pts_xyz) == 0:
+        return np.zeros(len(pts_xyz), dtype=bool)
+    out = np.zeros(len(pts_xyz), dtype=bool)
+    ra, rb = g.ring_edges_xyz()
+    if len(ra):
+        out |= sphere.contains_points(pts_xyz, ra, rb, model="closed")
+    ea, eb = g.line_edges_xyz()
+    if len(ea):
+        d = sphere.point_arc_distance(pts_xyz[:, None, :], ea[None, :, :],
+                                      eb[None, :, :]).min(axis=1)
+        out |= d <= ops.EPS_RAD
+    if len(g.points):
+        gp = g.points_xyz()
+        d = sphere.angle(pts_xyz[:, None, :], gp[None, :, :]).min(axis=1)
+        out |= d <= ops.EPS_RAD
+    return out
+
+
+def _pip_semiopen(g: Geog, pts_xyz):
+    """Vectorized contains(geog, point): polygonal interiors only."""
+    ra, rb = g.ring_edges_xyz()
+    if len(ra) == 0 or len(pts_xyz) == 0:
+        return np.zeros(len(pts_xyz), dtype=bool)
+    return sphere.contains_points(pts_xyz, ra, rb, model="semi_open")
+
+
+st_intersects = _binary_predicate(ops.s2_intersects, _pip_closed)
+st_contains = _binary_predicate(ops.s2_contains, _pip_semiopen)
+st_within = _binary_predicate(ops.s2_within)
+st_disjoint = _binary_predicate(ops.s2_disjoint)
+st_equals = _binary_predicate(ops.s2_equals)
+
+
+@pandas_udf(T.BooleanType())
+def st_dwithin(a: pd.Series, b: pd.Series, dist: pd.Series) -> pd.Series:
+    ga = _decode_cache(a)
+    gb = _decode_cache(b)
+    return pd.Series([ops.s2_dwithin(x, y, d) if d is not None else None
+                      for x, y, d in zip(ga, gb, dist)], dtype=object)
+
+
+@pandas_udf(T.DoubleType())
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    # point x point fast path: pure NumPy great-circle
+    pa = _fast_points(a)
+    pb = _fast_points(b)
+    if pa is not None and pb is not None:
+        xa = np.stack(C.lnglat_to_xyz(np.nan_to_num(pa[0]), np.nan_to_num(pa[1])), axis=-1)
+        xb = np.stack(C.lnglat_to_xyz(np.nan_to_num(pb[0]), np.nan_to_num(pb[1])), axis=-1)
+        d = sphere.angle(xa, xb) * ops.EARTH_RADIUS_METERS
+        bad = np.isnan(pa[0]) | np.isnan(pb[0])  # null or EMPTY input -> null
+        out = pd.Series(d, dtype=object)
+        out[bad] = None
+        return out
+    ga = _decode_cache(a)
+    gb = _decode_cache(b)
+    return pd.Series([ops.s2_distance(x, y) for x, y in zip(ga, gb)],
+                     dtype=object)
+
+
+@pandas_udf(T.DoubleType())
+def st_maxdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga = _decode_cache(a)
+    gb = _decode_cache(b)
+    return pd.Series([ops.s2_max_distance(x, y) for x, y in zip(ga, gb)],
+                     dtype=object)
+
+
+def _geog_to_geog(fn):
+    @pandas_udf(T.BinaryType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        ga = _decode_cache(a)
+        gb = _decode_cache(b)
+        return pd.Series([to_wkb(fn(x, y)) for x, y in zip(ga, gb)],
+                         dtype=object)
+    return udf
+
+
+st_closestpoint = _geog_to_geog(ops.s2_closest_point)
+st_shortestline = _geog_to_geog(ops.s2_shortest_line)
+st_longestline = _geog_to_geog(ops.s2_longest_line)
+
+
+def _unary_double(fn):
+    @pandas_udf(T.DoubleType())
+    def udf(a: pd.Series) -> pd.Series:
+        return pd.Series([fn(g) for g in _decode_cache(a)], dtype=object)
+    return udf
+
+
+st_area = _unary_double(ops.s2_area)
+st_length = _unary_double(ops.s2_length)
+st_perimeter = _unary_double(ops.s2_perimeter)
+st_x = _unary_double(ops.s2_x)
+st_y = _unary_double(ops.s2_y)
+
+
+@pandas_udf(T.IntegerType())
+def st_npoints(a: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else g.num_points()
+                      for g in _decode_cache(a)], dtype=object)
+
+
+@pandas_udf(T.IntegerType())
+def st_dimension(a: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else g.dimension()
+                      for g in _decode_cache(a)], dtype=object)
+
+
+@pandas_udf(T.BooleanType())
+def st_isempty(a: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else g.is_empty()
+                      for g in _decode_cache(a)], dtype=object)
+
+
+@pandas_udf(T.BooleanType())
+def st_iscollection(a: pd.Series) -> pd.Series:
+    return pd.Series([None if g is None else g.is_collection()
+                      for g in _decode_cache(a)], dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def st_centroid(a: pd.Series) -> pd.Series:
+    return pd.Series([to_wkb(ops.s2_centroid(g)) for g in _decode_cache(a)],
+                     dtype=object)
+
+
+_BBOX_TYPE = T.StructType([
+    T.StructField("xmin", T.DoubleType()),
+    T.StructField("ymin", T.DoubleType()),
+    T.StructField("xmax", T.DoubleType()),
+    T.StructField("ymax", T.DoubleType()),
+])
+
+
+@pandas_udf(_BBOX_TYPE)
+def st_boundingbox(a: pd.Series) -> pd.DataFrame:
+    rows = []
+    for g in _decode_cache(a):
+        b = ops.s2_bounds(g) if g is not None else None
+        rows.append((None, None, None, None) if b is None else b)
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+@pandas_udf(T.BinaryType())
+def st_lineinterpolatepoint(a: pd.Series, frac: pd.Series) -> pd.Series:
+    return pd.Series(
+        [to_wkb(ops.s2_line_interpolate_point(g, f)) if f is not None else None
+         for g, f in zip(_decode_cache(a), frac)], dtype=object)
+
+
+@pandas_udf(T.DoubleType())
+def st_linelocatepoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    ga = _decode_cache(a)
+    gb = _decode_cache(b)
+    return pd.Series([ops.s2_line_locate_point(x, y) for x, y in zip(ga, gb)],
+                     dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def st_geogfromtext(a: pd.Series) -> pd.Series:
+    return pd.Series([None if w is None else to_wkb(from_wkt(w)) for w in a],
+                     dtype=object)
+
+
+@pandas_udf(T.StringType())
+def st_astext(a: pd.Series) -> pd.Series:
+    return pd.Series([to_wkt(g) for g in _decode_cache(a)], dtype=object)
+
+
+@pandas_udf(T.LongType())
+def s2_cellidfrompoint(a: pd.Series) -> pd.Series:
+    # vectorized when the column is all point WKB (the normal case)
+    pts = _fast_points(a)
+    if pts is not None:
+        lng, lat = pts
+        ids = C.from_lnglat(np.nan_to_num(lng), np.nan_to_num(lat)).view(np.int64)
+        out = pd.Series(ids, dtype=object)
+        out[np.isnan(lng)] = None
+        return out
+    return pd.Series([ops.s2_cell_from_point(g) for g in _decode_cache(a)],
+                     dtype=object)
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def s2_coveringcellids(a: pd.Series) -> pd.Series:
+    return pd.Series([ops.s2_covering(g) for g in _decode_cache(a)],
+                     dtype=object)
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def s2_coveringcellids_buffered(a: pd.Series, radius: pd.Series) -> pd.Series:
+    return pd.Series(
+        [ops.s2_covering_buffered(g, r) if r is not None else None
+         for g, r in zip(_decode_cache(a), radius)], dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# pure-Column constructors (no UDF)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(T.BinaryType())
+def _point_wkb_udf(lng: pd.Series, lat: pd.Series) -> pd.Series:
+    n = len(lng)
+    arr = np.empty((n, _POINT_WKB_LEN), dtype=np.uint8)
+    arr[:, 0] = 1
+    arr[:, 1:5] = np.frombuffer(b"\x01\x00\x00\x00", dtype=np.uint8)
+    arr[:, 5:13] = lng.to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
+    arr[:, 13:21] = lat.to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
+    rows = arr.tobytes()
+    null = (lng.isna() | lat.isna()).to_numpy()
+    return pd.Series([None if null[i] else rows[i * 21:(i + 1) * 21]
+                      for i in range(n)], dtype=object)
+
+
+def point_wkb_columns(lng_col, lat_col):
+    """Build 21-byte point WKB from lng/lat columns (vectorized batch encode;
+    a single frombuffer-level pass, no per-row Python parsing)."""
+    return _point_wkb_udf(F.col(lng_col) if isinstance(lng_col, str) else lng_col,
+                          F.col(lat_col) if isinstance(lat_col, str) else lat_col)
+
+
+def register_sql_functions(spark):
+    """Register every kernel for SQL use (the analog of the reference's
+    kernel registry, s2geography_c.cc:181-221)."""
+    pairs = {
+        "st_geogfromtext": st_geogfromtext, "st_astext": st_astext,
+        "st_intersects": st_intersects, "st_contains": st_contains,
+        "st_within": st_within, "st_disjoint": st_disjoint,
+        "st_equals": st_equals, "st_dwithin": st_dwithin,
+        "st_distance": st_distance, "st_maxdistance": st_maxdistance,
+        "st_closestpoint": st_closestpoint,
+        "st_shortestline": st_shortestline, "st_longestline": st_longestline,
+        "st_area": st_area, "st_length": st_length,
+        "st_perimeter": st_perimeter, "st_x": st_x, "st_y": st_y,
+        "st_npoints": st_npoints, "st_dimension": st_dimension,
+        "st_isempty": st_isempty, "st_iscollection": st_iscollection,
+        "st_centroid": st_centroid, "st_boundingbox": st_boundingbox,
+        "st_lineinterpolatepoint": st_lineinterpolatepoint,
+        "st_linelocatepoint": st_linelocatepoint,
+        "s2_cellidfrompoint": s2_cellidfrompoint,
+        "s2_coveringcellids": s2_coveringcellids,
+        "s2_coveringcellids_buffered": s2_coveringcellids_buffered,
+    }
+    for name, fn in pairs.items():
+        spark.udf.register(name, fn)
+    return sorted(pairs)
