@@ -1,0 +1,138 @@
+"""End-to-end spatial-join correctness on the synthetic page corpus:
+extraction invariant + cover/explode/join/refine vs an independent
+brute-force oracle, plus kNN and the antimeridian/pole special regions.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geography_spark.core import sphere
+from s2geography_spark.core.geog import from_wkb
+from s2geography_spark.operators.spatial_join import knn_join, spatial_join
+from s2geography_spark.sources.pages import (extract_mentions, extract_text,
+                                             gazetteer_df, gazetteer_lnglat,
+                                             pages_df)
+from s2geography_spark.sources.regions import (region_corners, regions_df,
+                                               special_regions_df)
+
+N_PAGES = 2000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, N_PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def mentions(spark, pages):
+    return extract_mentions(pages, gazetteer_df(spark)).cache()
+
+
+def test_extract_text_byte_identical(spark, pages):
+    # BASELINE.json input_hint invariant: per-url byte-identical text
+    bad = pages.where(extract_text(F.col("html")) != F.col("text")).count()
+    assert bad == 0
+    # and deterministic across regeneration
+    again = pages_df(spark, N_PAGES)
+    diff = pages.select("url", "text").exceptAll(again.select("url", "text")).count()
+    assert diff == 0
+
+
+def test_mention_extraction_golden(spark, mentions):
+    # page_id % 6 mentions per page; city k = (id*31 + j*17) % 240
+    total = mentions.count()
+    expected = sum(i % 6 for i in range(N_PAGES))
+    assert total == expected
+    row = (mentions.where(F.col("url").endswith("/p/5")).orderBy("mention_idx")
+           .collect())
+    assert [r.city for r in row] == ["City155", "City172", "City189",
+                                     "City206", "City223"]
+    lng, lat = gazetteer_lnglat(np.array([155]))
+    assert row[0].lng == lng[0] and row[0].lat == lat[0]
+
+
+def brute_force_pairs(mentions_rows, n_regions=24):
+    rs = np.arange(n_regions)
+    lng0, lat0, lng1, lat1 = region_corners(rs)
+    out = set()
+    for m in mentions_rows:
+        hit = (m.lng > lng0) & (m.lng < lng1) & (m.lat > lat0) & (m.lat < lat1)
+        for r in rs[hit]:
+            out.add((m.url, m.mention_idx, int(r)))
+    return out
+
+
+def test_spatial_join_matches_brute_force(spark, mentions):
+    regions = regions_df(spark, 24)
+    joined = spatial_join(mentions, regions, predicate="contains")
+    got = {(r.url, r.mention_idx, r.region_id)
+           for r in joined.select("url", "mention_idx", "region_id").collect()}
+    expected = brute_force_pairs(mentions.collect(), 24)
+    assert got == expected
+    assert len(got) > 0  # non-trivial
+
+
+def test_spatial_join_shuffle_path_matches(spark, mentions):
+    regions = regions_df(spark, 24)
+    joined = spatial_join(mentions, regions, predicate="contains",
+                          broadcast=False, salt=4)
+    got = {(r.url, r.mention_idx, r.region_id)
+           for r in joined.select("url", "mention_idx", "region_id").collect()}
+    assert got == brute_force_pairs(mentions.collect(), 24)
+
+
+def test_spatial_join_intersects_predicate(spark, mentions):
+    regions = regions_df(spark, 24)
+    joined = spatial_join(mentions, regions, predicate="intersects")
+    got = {(r.url, r.mention_idx, r.region_id)
+           for r in joined.select("url", "mention_idx", "region_id").collect()}
+    # for interior points intersects == contains
+    assert got == brute_force_pairs(mentions.collect(), 24)
+
+
+def test_special_regions_join(spark):
+    # points near the antimeridian and the pole; join through the same path
+    pts = spark.createDataFrame(
+        [(0, 179.9, 0.0), (1, -179.9, 1.0), (2, 0.0, 89.0),
+         (3, 0.0, 0.0), (4, 150.0, -40.0)],
+        "pid long, lng double, lat double")
+    specials = special_regions_df(spark)
+    joined = spatial_join(pts, specials, predicate="contains")
+    got = {(r.pid, r.region_id) for r in joined.select("pid", "region_id").collect()}
+    assert (0, 1000) in got and (1, 1000) in got   # antimeridian polygon
+    assert (2, 1001) in got                         # pole polygon
+    assert not any(p in got for p in [(3, 1000), (3, 1001), (4, 1001)])
+
+
+def test_knn_matches_brute_force(spark, mentions):
+    regions = regions_df(spark, 16)
+    sample = mentions.limit(200).cache()
+    res = knn_join(sample.withColumn("pid", F.concat_ws("#", "url", "mention_idx")),
+                   regions.select("region_id", "geog"), k=3, point_id="pid")
+    got = {}
+    for r in res.select("pid", "knn_rank", "region_id", "distance_m").collect():
+        got.setdefault(r.pid, []).append((r.knn_rank, r.region_id, r.distance_m))
+
+    # brute force with the numpy kernels
+    reg_rows = regions.select("region_id", "geog").collect()
+    geogs = [(r.region_id, from_wkb(bytes(r.geog))) for r in reg_rows]
+    for m in sample.collect():
+        pid = f"{m.url}#{m.mention_idx}"
+        p = sphere.lnglat_to_xyz(np.array([[m.lng, m.lat]]))
+        dists = []
+        for rid, g in geogs:
+            ra, rb = g.ring_edges_xyz()
+            inside = sphere.contains_points(p, ra, rb, model="closed")[0]
+            if inside:
+                d = 0.0
+            else:
+                d = float(sphere.point_arc_distance(
+                    p[0], ra, rb).min() * sphere.EARTH_RADIUS_METERS)
+            dists.append((d, rid))
+        dists.sort()
+        expect = [rid for _, rid in dists[:3]]
+        mine = [rid for _, rid, _ in sorted(got[pid])]
+        assert mine == expect, (pid, mine, dists[:4])
+        for (rank, rid, dm), (ed, erid) in zip(sorted(got[pid]), dists[:3]):
+            assert dm == pytest.approx(ed, abs=1e-6)
