@@ -1,0 +1,230 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, each a distinct scale/recall trade-off:
+  * exact           — hash groupBy (one shuffle on the digest)
+  * n-gram Jaccard  — exact set similarity via shingle inverted index
+  * MinHash + LSH   — approximate Jaccard with banded signatures
+  * SimHash         — Hamming-ball near-dup via 4-band exact match
+
+All shuffles key on digests/band-hashes (uniform — no skew); hot shingles
+are df-capped to bound the inverted-index fan-out (standard practice: a
+shingle shared by >max_df docs carries no dedup signal).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                           text: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (digest, n_docs, doc_ids, keep_id).
+
+    keep_id = min id (deterministic canonical representative)."""
+    return (df
+            .select(F.md5(F.col(text)).alias("digest"), F.col(id_col))
+            .groupBy("digest")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+                 F.min(id_col).alias("keep_id"))
+            .where(F.col("n_docs") > 1))
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text: str = "text") -> DataFrame:
+    """Keep one row (min id) per distinct text: a single shuffle on the
+    digest; at 100 TB bucket the table by digest to make reruns shuffle-free."""
+    w_digest = df.withColumn("_digest", F.md5(F.col(text)))
+    keep = (w_digest.groupBy("_digest").agg(F.min(id_col).alias(id_col)))
+    return w_digest.join(keep, ["_digest", id_col], "inner").drop("_digest")
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def shingles_df(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle string)."""
+    toks = F.split(F.lower(F.regexp_replace(F.trim(F.col(text)), r"[^\w\s]", "")), r"\s+")
+    # n-gram count = size - n + 1 (i in 0..size-n); empty when size < n
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)) \
+        .otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+            .where(F.length("shingle") > 0))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int = 1000) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b) with sim >= threshold.
+
+    Inverted-index plan: distinct shingles -> drop shingles with doc-freq >
+    max_df (no signal, pure skew) -> self-join per shingle -> count common
+    -> join sizes -> jaccard filter.  Shuffles key on shingle then (a,b):
+    both uniform after the df-cap."""
+    sh = shingles_df(df, id_col, text, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    freq_ok = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .where(F.col("df") <= max_df).select("shingle"))
+    sh2 = sh.join(F.broadcast(freq_ok) if max_df <= 10000 else freq_ok, "shingle")
+    a = sh2.select(F.col("shingle"), F.col(id_col).alias("a"))
+    b = sh2.select(F.col("shingle"), F.col(id_col).alias("b"))
+    common = (a.join(b, "shingle").where(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count("*").alias("common")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    return (common.join(sa, "a").join(sb, "b")
+            .withColumn("jaccard", F.col("common") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature_udf(num_perm: int = 64, seed: int = 42, ngram: int = 3):
+    """pandas UDF: text -> array<long> MinHash signature (vectorized: one
+    (shingles x permutations) NumPy pass per document)."""
+    a_params, b_params = _minhash_params(num_perm, seed)
+    a64 = a_params.astype(np.uint64)
+    b64 = b_params.astype(np.uint64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = "".join(ch if (ch.isalnum() or ch.isspace()) else "" for ch in t.lower()).split()
+            shingle_set = {" ".join(toks[i:i + ngram])
+                           for i in range(max(len(toks) - ngram + 1, 0))}
+            if not shingle_set:
+                out.append([0] * num_perm)
+                continue
+            # FNV-1a 64-bit per shingle, vectorized permutations
+            hv = np.array([_fnv1a(s) for s in shingle_set], dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                prod = hv[:, None] * a64[None, :] + b64[None, :]
+            sig = prod.min(axis=0).view(np.int64)
+            out.append([int(x) for x in sig])
+        return pd.Series(out, dtype=object)
+
+    return udf
+
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text: str = "text", num_perm: int = 64,
+                      bands: int = 16, threshold: float = 0.5,
+                      ngram: int = 3, seed: int = 42) -> DataFrame:
+    """Approximate near-dup pairs: signature -> band buckets -> bucket join
+    -> signature-estimated Jaccard filter.
+
+    shuffle keys = (band, band_hash): uniformly distributed by construction."""
+    rows = num_perm // bands
+    sig_udf = minhash_signature_udf(num_perm, seed, ngram)
+    with_sig = df.select(F.col(id_col), sig_udf(F.col(text)).alias("sig"))
+    banded = with_sig.select(
+        id_col, "sig",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[
+                F.element_at("sig", b * rows + r + 1).cast("string")
+                for r in range(rows)]))
+            for b in range(bands)])).alias("band", "band_hash"))
+    a = banded.select(F.col("band"), F.col("band_hash"),
+                      F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    b = banded.select(F.col("band"), F.col("band_hash"),
+                      F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    cand = (a.join(b, ["band", "band_hash"]).where(F.col("a") < F.col("b"))
+            .select("a", "b", "sig_a", "sig_b").dropDuplicates(["a", "b"]))
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                          lambda v: v)) / F.lit(num_perm)
+    return (cand.withColumn("est_jaccard", est.cast("double"))
+            .where(F.col("est_jaccard") >= threshold)
+            .select("a", "b", "est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_udf(seed: int = 42):
+    """pandas UDF: text -> 64-bit SimHash of token FNV hashes (unweighted)."""
+
+    @pandas_udf(T.LongType())
+    def udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            hv = np.array([_fnv1a(tok) for tok in toks], dtype=np.uint64)
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            counts = bits.sum(axis=0)
+            sig = 0
+            for i in range(64):
+                if counts[i] * 2 >= len(toks):
+                    sig |= 1 << i
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype=object)
+
+    return udf
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming via the 4-band
+    pigeonhole trick: at least one 16-bit band must match exactly."""
+    sh = df.select(F.col(id_col), simhash_udf()(F.col(text)).alias("sim"))
+    bands = sh.select(
+        id_col, "sim",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("sim", b * 16).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)])).alias("band", "band_val"))
+    a = bands.select("band", "band_val", F.col(id_col).alias("a"),
+                     F.col("sim").alias("sim_a"))
+    b = bands.select("band", "band_val", F.col(id_col).alias("b"),
+                     F.col("sim").alias("sim_b"))
+    cand = (a.join(b, ["band", "band_val"]).where(F.col("a") < F.col("b"))
+            .select("a", "b", "sim_a", "sim_b").dropDuplicates(["a", "b"]))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

@@ -1,0 +1,50 @@
+"""Tiling: per-zoom S2 parent-cell assignment + Web-Mercator z/x/y tiles.
+
+S2 side: pure-Column bit math (cell_parent, op/cell.cc:103-123).
+Web Mercator (projections.h:17 pseudo_mercator): pure-Column trig — the
+whole operator is JVM-side whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import cell_parent
+from .spatial_join import leaf_cell_udf
+
+MAX_MERCATOR_LAT = 85.05112877980659  # atan(sinh(pi)) — standard web-mercator clamp
+
+
+def xyz_tile_columns(lng_col, lat_col, zoom: int):
+    """(x, y) Web-Mercator tile indices at `zoom` (slippy-map convention)."""
+    n = float(1 << zoom)
+    lng = F.col(lng_col) if isinstance(lng_col, str) else lng_col
+    lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lat_c = F.greatest(F.least(lat, F.lit(MAX_MERCATOR_LAT)),
+                       F.lit(-MAX_MERCATOR_LAT))
+    lat_rad = F.radians(lat_c)
+    x = F.floor((lng + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    y = F.floor((F.lit(1.0) - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad))
+                 / F.lit(math.pi)) / F.lit(2.0) * F.lit(n))
+    # clamp x for lng == 180 exactly
+    x = F.least(x, F.lit(int(n) - 1)).cast("long")
+    y = F.greatest(F.least(y, F.lit(int(n) - 1)), F.lit(0)).cast("long")
+    return x, y
+
+
+def assign_tiles(df: DataFrame, *, lng: str = "lng", lat: str = "lat",
+                 s2_levels=(4, 8, 12), mercator_zooms=(4, 8, 12)) -> DataFrame:
+    """Add per-zoom tile key columns: s2_cell_l{L} and tile_z{z}_x/_y.
+
+    One vectorized leaf-cell UDF call; every derived key is Column bit math
+    (map-only, no shuffle)."""
+    out = df.withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
+    for lev in s2_levels:
+        out = out.withColumn(f"s2_cell_l{lev}", cell_parent(F.col("_leaf"), lev))
+    for z in mercator_zooms:
+        x, y = xyz_tile_columns(lng, lat, z)
+        out = out.withColumn(f"tile_z{z}_x", x).withColumn(f"tile_z{z}_y", y)
+    return out.drop("_leaf")

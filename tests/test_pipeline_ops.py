@@ -1,0 +1,192 @@
+"""Tests for the training-data pipeline operators over the driver testdata
+(documents/embeddings/events at sf0.001) plus the tiling operator.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geography_spark.core import cellid as C
+from s2geography_spark.operators import dedup, similarity, textstats, tiles
+from s2geography_spark.operators.multimodal import (extract_media_features,
+                                                    frame_sample_plan,
+                                                    synthesize_media_df)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_tiles_match_numpy(spark):
+    pts = [(-64.0, 45.0), (170.25, -85.5), (0.125, 0.125), (-179.9, 89.9)]
+    df = spark.createDataFrame(pts, "lng double, lat double")
+    out = tiles.assign_tiles(df, s2_levels=(4, 12), mercator_zooms=(4, 12)).collect()
+    for row, (lng, lat) in zip(out, pts):
+        leaf = C.from_lnglat(np.array([lng]), np.array([lat]))
+        for lev in (4, 12):
+            expect = int(C.parent(leaf, lev).view(np.int64)[0])
+            assert row[f"s2_cell_l{lev}"] == expect
+        for z in (4, 12):
+            n = 1 << z
+            xx = min(int((lng + 180.0) / 360.0 * n), n - 1)
+            latc = max(min(lat, tiles.MAX_MERCATOR_LAT), -tiles.MAX_MERCATOR_LAT)
+            lr = math.radians(latc)
+            yy = int((1.0 - math.log(math.tan(lr) + 1 / math.cos(lr)) / math.pi) / 2.0 * n)
+            yy = max(min(yy, n - 1), 0)
+            assert row[f"tile_z{z}_x"] == xx, (z, lng)
+            assert row[f"tile_z{z}_y"] == yy, (z, lat)
+
+
+def test_text_stats(spark, docs):
+    out = textstats.with_text_stats(docs.limit(50)).collect()
+    for r in out:
+        toks = r.text.split()
+        assert r.n_tokens == len(toks)
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.quality <= 1.0
+    # fingerprint is whitespace/case insensitive
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], "text string")
+    fps = df.select(textstats.fingerprint("text").alias("f")).collect()
+    assert fps[0].f == fps[1].f
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame([
+        ("the cat sat on the mat and it is fine",),
+        ("der hund ist nicht auf der couch und das ist gut",),
+        ("le chat est dans la maison pour la nuit",),
+        ("xyzzy qwerty",),
+    ], "text string")
+    out = df.select(textstats.lang_id("text").alias("l")).collect()
+    assert [r.l for r in out] == ["en", "de", "fr", "und"]
+
+
+def test_exact_dedup(spark):
+    rows = [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma"), (4, "alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = dedup.exact_duplicate_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [1, 2, 4] and groups[0].keep_id == 1
+    kept = dedup.dedup_exact(df).select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [1, 3]
+
+
+def _jaccard(a, b, n=3):
+    def sh(t):
+        toks = "".join(ch if (ch.isalnum() or ch.isspace()) else "" for ch in t.lower()).split()
+        return {" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 0))}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+        (3, "completely different text about spark query engines and optimizers"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] == pytest.approx(_jaccard(rows[0][1], rows[1][1]), abs=1e-12)
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # plant two near-duplicates of an existing doc
+    base = docs.limit(1).collect()[0]
+    near = base.text + " extra tail token"
+    df = docs.limit(100).select("doc_id", "text").union(
+        docs.sparkSession.createDataFrame(
+            [(100001, base.text), (100002, near)], "doc_id long, text string"))
+    pairs = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert (base.doc_id, 100001) in pairs
+    assert (base.doc_id, 100002) in pairs or (100001, 100002) in pairs
+
+
+def test_simhash_near_pairs(spark):
+    # long repetitive docs: one changed token flips ~1 signature bit, so the
+    # 4-band pigeonhole (guaranteed recall for hamming <= 3) finds the pair
+    base = " ".join(f"token{i % 17} word{i % 23}" for i in range(40))
+    variant = base.replace("token3 word3", "token3 wordX", 1)
+    rows = [(1, base), (2, variant),
+            (3, "unrelated content entirely about cooking pasta with tomatoes")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.a, r.b): r.hamming
+             for r in dedup.simhash_near_pairs(df, max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_brute_force_topk_exact(spark, emb):
+    corpus = emb.limit(300)
+    queries = (emb.limit(5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    got = similarity.brute_force_topk(corpus, queries, k=3).collect()
+    # numpy oracle
+    cps = corpus.collect()
+    M = np.array([r.embedding for r in cps], dtype=np.float64)
+    ids = np.array([r.vec_id for r in cps])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in queries.collect():
+        v = np.array(q.q_vec, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        cos = Mn @ v
+        order = np.lexsort((ids, -cos))[:3]
+        expect = ids[order].tolist()
+        mine = [r.vec_id for r in sorted(
+            (r for r in got if r.q_id == q.q_id), key=lambda r: r.rank)]
+        assert mine == expect
+
+
+def test_lsh_topk_self_recall(spark, emb):
+    corpus = emb.limit(400)
+    queries = (corpus.limit(20)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    dim = len(corpus.first().embedding)
+    got = similarity.lsh_topk(corpus, queries, k=1, dim=dim, n_planes=8).collect()
+    # each query vector must find itself (same bucket, cosine 1)
+    top1 = {r.q_id: r.vec_id for r in got if r.rank == 1}
+    hits = sum(1 for q, v in top1.items() if q == v)
+    assert hits == 20
+
+
+def test_embedding_near_duplicates(spark, emb):
+    dim = len(emb.first().embedding)
+    base = emb.limit(50)
+    clone = base.select((F.col("vec_id") + 1000000).alias("vec_id"),
+                        "embedding", "label")
+    df = base.union(clone)
+    pairs = {(r.a, r.b) for r in similarity.embedding_near_duplicates(
+        df, dim, threshold=0.999).collect()}
+    for r in base.collect():
+        assert (r.vec_id, r.vec_id + 1000000) in pairs
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media_df(spark, 60)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 60
+    assert all(r.ok and len(r.feat) == 8 for r in feats)
+    # deterministic across runs
+    again = {r.id: r.feat for r in extract_media_features(media).collect()}
+    for r in feats:
+        assert again[r.id] == r.feat
+    frames = frame_sample_plan(media, every_ms=1000)
+    vids = media.where(F.col("meta.media_type") == "video").count()
+    assert frames.select("id").distinct().count() == vids
