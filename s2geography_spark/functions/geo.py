@@ -282,6 +282,21 @@ def st_linelocatepoint(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.BinaryType())
+def multipoint_wkb(lngs: pd.Series, lats: pd.Series) -> pd.Series:
+    """(array<double>, array<double>) -> MULTIPOINT WKB (grouped-point
+    aggregate support, e.g. per-group bbox)."""
+    out = []
+    for ln, la in zip(lngs, lats):
+        if ln is None or la is None:
+            out.append(None)
+            continue
+        pts = np.stack([np.asarray(ln, dtype=np.float64),
+                        np.asarray(la, dtype=np.float64)], axis=-1)
+        out.append(to_wkb(Geog(points=pts)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.BinaryType())
 def st_geogfromtext(a: pd.Series) -> pd.Series:
     return pd.Series([None if w is None else to_wkb(from_wkt(w)) for w in a],
                      dtype=object)
