@@ -1,0 +1,86 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the flagship spatial join (cover + PIP refine)
+throughput; extra keys report rows/sec and per-query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_flagship(spark, n_pages: int):
+    """pages -> extraction -> spatial join -> rollup; returns (rows_in,
+    rows_out, seconds)."""
+    from pyspark.sql import functions as F
+    from s2geography_spark.operators.spatial_join import spatial_join
+    from s2geography_spark.sources.pages import (extract_mentions,
+                                                 gazetteer_df, pages_df)
+    from s2geography_spark.sources.regions import regions_df
+
+    pages = pages_df(spark, n_pages)
+    mentions = extract_mentions(pages, gazetteer_df(spark))
+    regions = regions_df(spark, 96)
+    t0 = time.time()
+    joined = spatial_join(mentions, regions, predicate="contains")
+    out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
+    dt = time.time() - t0
+    rows_in = int(sum(i % 6 for i in range(n_pages)))  # exact mention count
+    rows_out = int(sum(r.n for r in out))
+    return rows_in, rows_out, dt
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from s2geography_spark.session import get_spark
+    spark = get_spark("bench", cpus=cpus)
+
+    import __spark_entry__ as entry_mod
+
+    # flagship spatial join scaled with sf (~2.5 mentions/page)
+    n_pages = max(int(float(sf) * 2_000_000), 20_000)
+    rows_in, rows_out, join_sec = run_flagship(spark, n_pages)
+
+    timings = {"spatial_join_flagship": round(join_sec, 3)}
+    bench_queries = [
+        "geo_pip_pairs", "geo_knn", "geo_tiles_z8", "geo_centroid_nation",
+        "text_stats", "lang_id", "dedup_exact", "minhash_lsh", "simhash",
+        "ann_topk", "embedding_near_dup", "lineitem_agg", "events_window",
+    ]
+    qs = entry_mod.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "spatial-join rows/sec (cover+PIP refine) + query suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "spatial_join": {
+            "mentions_in": rows_in,
+            "join_rows_out": rows_out,
+            "seconds": round(join_sec, 3),
+            "rows_per_sec": round(rows_in / join_sec, 1),
+        },
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

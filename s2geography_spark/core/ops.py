@@ -591,29 +591,58 @@ def s2_cell_from_point(g: Optional[Geog]) -> Optional[int]:
     return int(ids.view(np.int64)[0])
 
 
+class _CovererState:
+    """Per-geography precomputed state for the coverer's cell tests
+    (leaf cells of vertices, edge arrays) — computed once per covering."""
+
+    def __init__(self, g: Geog):
+        v = g.all_vertices_xyz()
+        self.empty = len(v) == 0
+        if self.empty:
+            return
+        self.leafs = C.from_xyz(v[:, 0], v[:, 1], v[:, 2])
+        self.ea, self.eb = g.all_edges_xyz()
+        self.ra, self.rb = g.ring_edges_xyz()
+
+    def may_intersect_batch(self, cids: np.ndarray) -> np.ndarray:
+        """Vectorized cell/geography intersection test over many cells."""
+        cids = np.asarray(cids, dtype=np.uint64)
+        n = len(cids)
+        if self.empty or n == 0:
+            return np.zeros(n, dtype=bool)
+        rmin = C.range_min(cids)
+        rmax = C.range_max(cids)
+        # 1) any vertex's leaf cell inside each cell's range: (n, v)
+        hit = ((self.leafs[None, :] >= rmin[:, None])
+               & (self.leafs[None, :] <= rmax[:, None])).any(axis=1)
+        todo = ~hit
+        if todo.any():
+            quads = C.cell_vertices_xyz(cids[todo])  # (m, 4, 3)
+            qa = quads
+            qb = quads[:, [1, 2, 3, 0]]
+            sub = np.zeros(int(todo.sum()), dtype=bool)
+            # 2) any geog edge crosses a cell edge: (m, 4, e)
+            if len(self.ea):
+                crosses = sphere.arcs_cross(
+                    qa[:, :, None, :], qb[:, :, None, :],
+                    self.ea[None, None, :, :], self.eb[None, None, :, :])
+                sub |= crosses.any(axis=(1, 2))
+            # 3) any cell corner inside a polygon of g
+            if len(self.ra):
+                corners = quads.reshape(-1, 3)
+                inside = sphere.contains_points(
+                    corners, self.ra, self.rb, model="closed").reshape(-1, 4)
+                sub |= inside.any(axis=1)
+            hit[np.where(todo)[0]] = sub
+        return hit
+
+    def may_intersect(self, cid: int) -> bool:
+        return bool(self.may_intersect_batch(np.array([cid], dtype=np.uint64))[0])
+
+
 def _cell_may_intersect_geog(cid: int, g: Geog) -> bool:
-    """Exact-ish cell/geography intersection test for the coverer."""
-    arr = np.array([cid], dtype=np.uint64)
-    rmin, rmax = C.range_min(arr)[0], C.range_max(arr)[0]
-    # 1) any vertex's leaf cell inside this cell's range
-    v = g.all_vertices_xyz()
-    if len(v) == 0:
-        return False
-    leafs = C.from_xyz(v[:, 0], v[:, 1], v[:, 2])
-    if ((leafs >= rmin) & (leafs <= rmax)).any():
-        return True
-    quad = C.cell_vertices_xyz(arr)[0]  # (4,3)
-    qa = quad
-    qb = quad[[1, 2, 3, 0]]
-    # 2) any geog edge crosses a cell edge
-    ea, eb = g.all_edges_xyz()
-    if len(ea) and _edges_cross_any(ea, eb, qa, qb):
-        return True
-    # 3) any cell corner inside a polygon of g
-    ra, rb = g.ring_edges_xyz()
-    if len(ra) and sphere.contains_points(quad, ra, rb).any():
-        return True
-    return False
+    """Exact-ish cell/geography intersection test (one-shot form)."""
+    return _CovererState(g).may_intersect(cid)
 
 
 MAX_COVER_LEVEL = 20
@@ -633,24 +662,25 @@ def s2_covering(g: Optional[Geog], max_cells: int = 8,
         ids = C.from_lnglat(g.points[:, 0], g.points[:, 1])
         return sorted(set(int(i) for i in ids.view(np.int64)))
 
+    state = _CovererState(g)
     # seed with faces that may intersect
-    heap = []  # (-(level gap) ordering: biggest cells first => level asc)
+    faces = np.array([(f << 61) | (1 << 60) for f in range(6)], dtype=np.uint64)
+    face_hits = state.may_intersect_batch(faces)
+    heap = []  # biggest cells first => level asc
     seq = 0
-    for f in range(6):
-        fc = (f << 61) | (1 << 60)
-        if _cell_may_intersect_geog(fc, g):
-            heapq.heappush(heap, (0, seq, fc))
-            seq += 1
+    for fc in faces[face_hits]:
+        heapq.heappush(heap, (0, seq, int(fc)))
+        seq += 1
     result = []
     while heap:
         lev, _, cid = heapq.heappop(heap)
         if lev >= max_level:
             result.append(cid)
             continue
-        # try subdividing: children that intersect
-        arr = np.array([cid], dtype=np.uint64)
-        kids = [int(C.child(arr, np.array([k]))[0]) for k in range(4)]
-        kids = [k for k in kids if _cell_may_intersect_geog(k, g)]
+        # try subdividing: children that intersect (one vectorized test)
+        arr = np.full(4, cid, dtype=np.uint64)
+        kid_arr = C.child(arr, np.arange(4))
+        kids = [int(k) for k in kid_arr[state.may_intersect_batch(kid_arr)]]
         if not kids:
             result.append(cid)  # shouldn't happen; keep conservative
             continue

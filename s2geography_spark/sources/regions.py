@@ -44,20 +44,32 @@ def densified_rect(lng0, lat0, lng1, lat1, step=1.0) -> Geog:
     return Geog(polys=[[ring]])
 
 
+_ROWS_CACHE: dict = {}
+
+
+def _region_rows(n_regions: int, with_covering: bool):
+    key = (n_regions, with_covering)
+    if key not in _ROWS_CACHE:
+        rs = np.arange(n_regions)
+        lng0, lat0, lng1, lat1 = region_corners(rs)
+        rows = []
+        for i in range(n_regions):
+            g = densified_rect(float(lng0[i]), float(lat0[i]),
+                               float(lng1[i]), float(lat1[i]))
+            cov = ops.s2_covering(g, max_cells=8) if with_covering else None
+            rows.append((int(rs[i]), float(lng0[i]), float(lat0[i]),
+                         float(lng1[i]), float(lat1[i]), to_wkb(g), cov))
+        _ROWS_CACHE[key] = rows
+    return _ROWS_CACHE[key]
+
+
 def regions_df(spark: SparkSession, n_regions: int = 96,
                with_covering: bool = True) -> DataFrame:
     """Small broadcastable polygon dimension: region_id, corner columns,
     geog WKB, and (optionally) the precomputed covering (the reference's
-    embedded-covering checkpoint idea, geography_interface.h:150-158)."""
-    rs = np.arange(n_regions)
-    lng0, lat0, lng1, lat1 = region_corners(rs)
-    rows = []
-    for i in range(n_regions):
-        g = densified_rect(float(lng0[i]), float(lat0[i]),
-                           float(lng1[i]), float(lat1[i]))
-        cov = ops.s2_covering(g, max_cells=8) if with_covering else None
-        rows.append((int(rs[i]), float(lng0[i]), float(lat0[i]),
-                     float(lng1[i]), float(lat1[i]), to_wkb(g), cov))
+    embedded-covering checkpoint idea, geography_interface.h:150-158).
+    Rows are memoized driver-side (deterministic)."""
+    rows = _region_rows(n_regions, with_covering)
     return spark.createDataFrame(
         rows,
         "region_id long, lng0 double, lat0 double, lng1 double, lat1 double,"
