@@ -33,9 +33,11 @@ def _manifest_path(path: str) -> str:
 def stage_metrics(df: DataFrame) -> tuple[list[dict], dict]:
     """Per-partition (rows, checksum) + stage totals for a materialized df."""
     cols = [F.col(c).cast("string") for c in df.columns]
+    # sum xxhash64 values in decimal(38,0) — a plain long sum overflows
+    # under ANSI mode; decimal keeps the checksum exact and order-free
     per_part = (df
                 .withColumn("_pid", F.spark_partition_id())
-                .withColumn("_h", F.xxhash64(*cols))
+                .withColumn("_h", F.xxhash64(*cols).cast("decimal(38,0)"))
                 .groupBy("_pid")
                 .agg(F.count("*").alias("rows"), F.sum("_h").alias("checksum"))
                 .collect())
