@@ -38,6 +38,51 @@ def run_flagship(spark, n_pages: int):
     return rows_in, rows_out, dt
 
 
+def materialize_mentions(spark, n_pages: int, path: str):
+    """One-time corpus materialization (the 'Iceberg table' the join reads).
+    Idempotent: skipped when the parquet already exists with a _SUCCESS."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pyspark.sql import functions as F
+        from s2geography_spark.operators.spatial_join import leaf_cell_udf
+        from s2geography_spark.sources.pages import (extract_mentions,
+                                                     gazetteer_df, pages_df)
+        mentions = extract_mentions(pages_df(spark, n_pages), gazetteer_df(spark))
+        # embedded-covering ingest pattern: persist the leaf cell id so the
+        # join never recomputes it (geography_interface.h:150-158 analog)
+        mentions = mentions.withColumn("leaf", leaf_cell_udf(F.col("lng"), F.col("lat")))
+        mentions.write.mode("overwrite").parquet(path)
+    return path
+
+
+_PREPARED = {}
+
+
+def run_join_bench(spark, mentions_path: str):
+    """THE headline metric: spatial-join rows/sec (cover + PIP refine) over
+    a pre-materialized mention table — scan -> leaf cell -> fixed-level key
+    -> broadcast cover join -> bbox prefilter -> vectorized PIP refine ->
+    rollup.  The dim side is prepared once (ShapeIndex analog) and reused."""
+    from pyspark.sql import functions as F
+    from s2geography_spark.operators.spatial_join import (prepare_regions,
+                                                          spatial_join)
+    from s2geography_spark.sources.regions import regions_df
+
+    mentions = spark.read.parquet(mentions_path)
+    key = id(spark)
+    if key not in _PREPARED:
+        _PREPARED[key] = prepare_regions(
+            spark, regions_df(spark, 96, covering_level=6))
+    leaf = "leaf" if "leaf" in mentions.columns else None
+    t0 = time.time()
+    joined = spatial_join(mentions, _PREPARED[key], predicate="contains",
+                          level=6, leaf_col=leaf)
+    out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
+    dt = time.time() - t0
+    rows_out = int(sum(r.n for r in out))
+    rows_in = mentions.count()
+    return int(rows_in), rows_out, dt
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

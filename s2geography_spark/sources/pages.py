@@ -48,21 +48,22 @@ def pages_df(spark: SparkSession, n_pages: int) -> DataFrame:
     text in a fixed template so extract_text(html) == text byte-identically.
     """
     df = spark.range(n_pages).withColumnRenamed("id", "page_id")
-    mention = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.pmod(F.col("page_id"), F.lit(6)) - 1),
-            lambda j: F.concat(
-                F.lit("City"),
-                F.pmod(F.col("page_id") * 31 + j * 17, F.lit(GAZETTEER_SIZE))
-                 .cast("int").cast("string")),
-        ),
-        lambda s: s.isNotNull(),
-    )
+    n_mentions = F.pmod(F.col("page_id"), F.lit(6))
+    # whole-stage-codegen friendly: no higher-order functions (transform/
+    # filter lambdas are interpreted and contend at high thread counts);
+    # concat_ws skips null args, so when() without otherwise() drops slots
+    mention_slots = [
+        F.when(n_mentions > j, F.concat(
+            F.lit("City"),
+            F.pmod(F.col("page_id") * 31 + j * 17, F.lit(GAZETTEER_SIZE))
+             .cast("int").cast("string")))
+        for j in range(5)
+    ]
     text = F.concat(
         F.lit("Report "), F.col("page_id").cast("string"),
         F.lit(": travel notes covering "),
-        F.when(F.pmod(F.col("page_id"), F.lit(6)) == 0, F.lit("no places"))
-         .otherwise(F.concat_ws(" and ", mention)),
+        F.when(n_mentions == 0, F.lit("no places"))
+         .otherwise(F.concat_ws(" and ", *mention_slots)),
         F.lit(". End of page "), F.col("page_id").cast("string"), F.lit("."),
     )
     return (
@@ -98,8 +99,14 @@ def extract_mentions(pages: DataFrame, gaz: DataFrame) -> DataFrame:
     mentions = (
         pages
         .select("url", "warc_ts",
-                F.posexplode(F.expr(r"regexp_extract_all(text, 'City\\d+', 0)"))
-                 .alias("mention_idx", "city"))
+                F.posexplode(F.expr(r"regexp_extract_all(text, 'City(\\d+)', 1)"))
+                 .alias("mention_idx", "city_k_str"))
+        .withColumn("city_k", F.col("city_k_str").cast("int"))
+        .drop("city_k_str")
     )
-    return mentions.join(F.broadcast(gaz), "city", "inner") \
+    # broadcast join keyed on the INT id: string-keyed broadcast hash joins
+    # measurably contend across threads (10x slower per row); resolving the
+    # id in the regexp capture keeps the hot probe on a long hash
+    return mentions.join(F.broadcast(gaz.select("city_k", "city", "lng", "lat")),
+                         "city_k", "inner") \
         .select("url", "warc_ts", "mention_idx", "city", "city_k", "lng", "lat")

@@ -47,8 +47,8 @@ def densified_rect(lng0, lat0, lng1, lat1, step=1.0) -> Geog:
 _ROWS_CACHE: dict = {}
 
 
-def _region_rows(n_regions: int, with_covering: bool):
-    key = (n_regions, with_covering)
+def _region_rows(n_regions: int, with_covering: bool, covering_level=None):
+    key = (n_regions, with_covering, covering_level)
     if key not in _ROWS_CACHE:
         rs = np.arange(n_regions)
         lng0, lat0, lng1, lat1 = region_corners(rs)
@@ -56,7 +56,15 @@ def _region_rows(n_regions: int, with_covering: bool):
         for i in range(n_regions):
             g = densified_rect(float(lng0[i]), float(lat0[i]),
                                float(lng1[i]), float(lat1[i]))
-            cov = ops.s2_covering(g, max_cells=8) if with_covering else None
+            if not with_covering:
+                cov = None
+            elif covering_level is None:
+                cov = ops.s2_covering(g, max_cells=8)
+            else:
+                # fixed-level covering: every cell at exactly covering_level
+                # (single-key join: the point side emits one parent cell)
+                cov = ops.s2_covering(g, max_cells=1 << 20,
+                                      max_level=covering_level)
             rows.append((int(rs[i]), float(lng0[i]), float(lat0[i]),
                          float(lng1[i]), float(lat1[i]), to_wkb(g), cov))
         _ROWS_CACHE[key] = rows
@@ -64,12 +72,13 @@ def _region_rows(n_regions: int, with_covering: bool):
 
 
 def regions_df(spark: SparkSession, n_regions: int = 96,
-               with_covering: bool = True) -> DataFrame:
+               with_covering: bool = True,
+               covering_level=None) -> DataFrame:
     """Small broadcastable polygon dimension: region_id, corner columns,
     geog WKB, and (optionally) the precomputed covering (the reference's
     embedded-covering checkpoint idea, geography_interface.h:150-158).
     Rows are memoized driver-side (deterministic)."""
-    rows = _region_rows(n_regions, with_covering)
+    rows = _region_rows(n_regions, with_covering, covering_level)
     return spark.createDataFrame(
         rows,
         "region_id long, lng0 double, lat0 double, lng1 double, lat1 double,"
