@@ -42,13 +42,13 @@ def s2_convex_hull(g: Optional[Geog]) -> Optional[Geog]:
     Degenerate results: 1 vertex -> POINT, collinear -> LINESTRING."""
     if g is None:
         return None
-    v = _hull_vertices(g)
-    if len(v) == 0:
+    ll = _hull_vertices_lnglat(g)
+    if len(ll) == 0:
         return Geog(typ=7)  # GEOMETRYCOLLECTION EMPTY (accessors-geog_test golden)
-    # dedupe
-    v = np.unique(np.round(v, 15), axis=0)
-    if len(v) == 1:
-        return Geog(points=sphere.xyz_to_lnglat(v[0]).reshape(1, 2))
+    ll = np.unique(ll, axis=0)
+    if len(ll) == 1:
+        return Geog(points=ll)
+    v = sphere.lnglat_to_xyz(ll)
     c = v.sum(axis=0)
     nc = np.linalg.norm(c)
     if nc == 0:
@@ -66,28 +66,26 @@ def s2_convex_hull(g: Optional[Geog]) -> Optional[Geog]:
     px = t @ e1
     py = t @ e2
     hull_idx = _graham(px, py)
-    hv = v[hull_idx]
+    hv = ll[hull_idx]  # original input coordinates, no xyz roundtrip
     if len(hv) == 2:
-        return Geog(lines=[sphere.xyz_to_lnglat(hv)])
-    ring = sphere.xyz_to_lnglat(np.vstack([hv, hv[:1]]))
-    out = Geog(polys=[[ring]])
-    # ensure CCW
+        return Geog(lines=[hv])
+    ring = np.vstack([hv, hv[:1]])
     if sphere.ring_signed_area(sphere.lnglat_to_xyz(ring)) < 0:
-        out = Geog(polys=[[ring[::-1].copy()]])
-    return out
+        ring = ring[::-1].copy()
+    return Geog(polys=[[ring]])
 
 
-def _hull_vertices(g: Geog) -> np.ndarray:
+def _hull_vertices_lnglat(g: Geog) -> np.ndarray:
     out = []
     if len(g.points):
-        out.append(g.points_xyz())
+        out.append(g.points)
     for l in g.lines:
         if len(l):
-            out.append(sphere.lnglat_to_xyz(l))
+            out.append(l)
     for rings in g.polys:
         if rings:  # shell only; holes can't affect the hull
-            out.append(sphere.lnglat_to_xyz(rings[0][:-1]))
-    return np.vstack(out) if out else np.zeros((0, 3))
+            out.append(rings[0][:-1])
+    return np.vstack(out) if out else np.zeros((0, 2))
 
 
 def _graham(x: np.ndarray, y: np.ndarray) -> List[int]:
@@ -147,14 +145,16 @@ def s2_point_on_surface(g: Optional[Geog]) -> Optional[Geog]:
                 return Geog(points=sphere.xyz_to_lnglat(p[0]).reshape(1, 2))
         # fall back: midpoint of a short chord inward from a vertex
         return Geog(points=sphere.xyz_to_lnglat(ra[0]).reshape(1, 2))
-    v = g.all_vertices_xyz()
+    ll = _hull_vertices_lnglat(g)  # original coordinates
+    v = sphere.lnglat_to_xyz(ll)
     cen = centroid_vector(g)
     cen = cen / max(np.linalg.norm(cen), 1e-300)
     d = sphere.angle(v, cen.reshape(1, 3))
-    # last minimal index: matches the reference's tie behavior
-    # (multipoint (0 0),(0 1) -> POINT (0 1), accessors-geog_test.cc)
-    k = len(d) - 1 - int(np.argmin(d[::-1]))
-    return Geog(points=sphere.xyz_to_lnglat(v[k]).reshape(1, 2))
+    # last index within tolerance of the minimum: matches the reference's
+    # observed tie behavior (multipoint (0 0),(0 1) -> POINT (0 1))
+    near = np.where(d <= d.min() + 1e-12)[0]
+    k = int(near[-1])
+    return Geog(points=ll[k].reshape(1, 2))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,215 @@
+"""Build-op goldens from the reference's accessors-geog_test.cc (convex
+hull :497-556, point-on-surface :564-630) and build_test.cc semantics
+(overlay empty/disjoint shortcuts), plus simplify/buffer/reduce-precision
+property checks.
+"""
+
+import numpy as np
+import pytest
+
+from s2geography_spark.core import build as B
+from s2geography_spark.core import ops, sphere
+from s2geography_spark.core.geog import from_wkt, to_wkt
+
+HULL_GOLDENS = [
+    ("point_empty", "POINT EMPTY", "GEOMETRYCOLLECTION EMPTY"),
+    ("linestring_empty", "LINESTRING EMPTY", "GEOMETRYCOLLECTION EMPTY"),
+    ("polygon_empty", "POLYGON EMPTY", "GEOMETRYCOLLECTION EMPTY"),
+    ("point", "POINT (0 1)", "POINT (0 1)"),
+    ("multipoint_two", "MULTIPOINT ((0 0), (0 1))", "LINESTRING (0 0, 0 1)"),
+    ("multipoint_three", "MULTIPOINT ((0 0), (0 1), (1 0))",
+     "POLYGON ((0 0, 1 0, 0 1, 0 0))"),
+    ("linestring", "LINESTRING (0 0, 0 1)", "LINESTRING (0 0, 0 1)"),
+    ("linestring_non_colinear", "LINESTRING (0 0, 0 1, 1 0)",
+     "POLYGON ((0 0, 1 0, 0 1, 0 0))"),
+    ("triangle", "POLYGON ((0 0, 0 1, 1 0, 0 0))",
+     "POLYGON ((0 0, 1 0, 0 1, 0 0))"),
+    ("polygon_with_hole",
+     "POLYGON ((0 0, 0 2, 2 0, 0 0), (0.1 0.1, 0.1 0.5, 0.5 0.1, 0.1 0.1))",
+     "POLYGON ((0 0, 2 0, 0 2, 0 0))"),
+    ("multipolygon_with_hole",
+     "MULTIPOLYGON (((0 0, 0 2, 2 0, 0 0), (0.1 0.1, 0.1 0.5, 0.5 0.1, 0.1 0.1)),"
+     " ((10 10, 10 11, 11 10, 10 10)))",
+     "POLYGON ((0 0, 2 0, 11 10, 10 11, 0 2, 0 0))"),
+    ("geometrycollection",
+     "GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (0 0, 0 1),"
+     " POLYGON ((0 0, 0 1, 1 0, 0 0)))",
+     "POLYGON ((0 0, 1 0, 5 5, 0 1, 0 0))"),
+]
+
+
+@pytest.mark.parametrize("name,wkt,expected", HULL_GOLDENS,
+                         ids=[g[0] for g in HULL_GOLDENS])
+def test_convex_hull_goldens(name, wkt, expected):
+    got = B.s2_convex_hull(from_wkt(wkt))
+    exp = from_wkt(expected)
+    if exp.is_empty():
+        assert got.is_empty()
+    else:
+        assert ops.s2_equals(got, exp) is True, (to_wkt(got), expected)
+    assert B.s2_convex_hull(None) is None
+
+
+def test_linestring_colinear_hull():
+    # reference golden: LINESTRING (0 0, 0 1, 0 2) -> LINESTRING (0 0, 0 2)
+    got = B.s2_convex_hull(from_wkt("LINESTRING (0 0, 0 1, 0 2)"))
+    assert got.dimension() == 1
+    ends = {tuple(got.lines[0][0]), tuple(got.lines[0][-1])}
+    assert ends == {(0.0, 0.0), (0.0, 2.0)}
+
+
+POS_SIMPLE = [
+    ("point", "POINT (0 1)", "POINT (0 1)"),
+    ("multipoint", "MULTIPOINT ((0 0), (0 1))", "POINT (0 1)"),
+    ("linestring", "LINESTRING (0 0, 0 1)", "POINT (0 1)"),
+    ("linestring_three_vertices", "LINESTRING (0 0, 0 1, 0 5)", "POINT (0 1)"),
+    ("multilinestring", "MULTILINESTRING ((0 0, 0 1), (10 0, 10 5))",
+     "POINT (10 0)"),
+]
+
+
+@pytest.mark.parametrize("name,wkt,expected", POS_SIMPLE,
+                         ids=[g[0] for g in POS_SIMPLE])
+def test_point_on_surface_dim01(name, wkt, expected):
+    got = B.s2_point_on_surface(from_wkt(wkt))
+    assert ops.s2_equals(got, from_wkt(expected)) is True, to_wkt(got)
+
+
+def test_point_on_surface_polygon_interior():
+    for wkt in ["POLYGON ((0 0, 0 1, 1 0, 0 0))",
+                "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+                "POLYGON ((0 0, 0 2, 2 0, 0 0), (0.1 0.1, 0.1 0.5, 0.5 0.1, 0.1 0.1))"]:
+        g = from_wkt(wkt)
+        p = B.s2_point_on_surface(g)
+        assert ops.s2_contains(g, p) is True, (wkt, to_wkt(p))
+    assert B.s2_point_on_surface(from_wkt("POINT EMPTY")).is_empty()
+    assert B.s2_point_on_surface(None) is None
+
+
+def test_simplify():
+    line = from_wkt("LINESTRING (0 0, 0.0001 1, 0 2)")
+    s = B.s2_simplify(line, 50)       # 50 m tolerance keeps the bump (~11 m off-line? no: 0.0001 deg ~ 11 m -> dropped)
+    s2 = B.s2_simplify(line, 1.0)     # 1 m keeps it
+    assert len(s.lines[0]) == 2
+    assert len(s2.lines[0]) == 3
+    # negative tolerance treated as abs (build.cc:1214-1216)
+    s3 = B.s2_simplify(line, -50)
+    assert len(s3.lines[0]) == 2
+    # polygon ring simplification keeps validity
+    ring = from_wkt("POLYGON ((0 0, 1 0.0001, 2 0, 2 2, 0 2, 0 0))")
+    sp = B.s2_simplify(ring, 100)
+    assert ops.s2_area(sp) == pytest.approx(ops.s2_area(ring), rel=1e-3)
+    assert len(sp.polys[0][0]) == 5  # bump vertex removed
+
+
+def test_reduce_precision():
+    g = from_wkt("LINESTRING (0.123456 0.654321, 1.111111 1.999999)")
+    r = B.s2_reduce_precision(g, 2)
+    np.testing.assert_allclose(r.lines[0], [[0.12, 0.65], [1.11, 2.0]])
+    # collapsing ring -> dropped
+    tiny = from_wkt("POLYGON ((0 0, 0.001 0, 0 0.001, 0 0))")
+    assert B.s2_reduce_precision(tiny, 1).is_empty()
+
+
+def test_buffer_point():
+    g = from_wkt("POINT (10 45)")
+    buf = B.s2_buffer(g, 100000.0)  # 100 km
+    assert buf.dimension() == 2
+    # area ~ pi r^2 (spherical correction tiny at 100 km)
+    area = ops.s2_area(buf)
+    assert area == pytest.approx(np.pi * 100000.0 ** 2, rel=2e-2)
+    # the center is inside; a point 99 km away inside; 101 km away outside
+    assert ops.s2_contains(buf, g) is True
+    near = from_wkt("POINT (10 45.89)")   # ~99 km north
+    far = from_wkt("POINT (10 45.92)")    # ~102 km north
+    assert ops.s2_contains(buf, near) is True
+    assert ops.s2_contains(buf, far) is False
+    assert B.s2_buffer(g, -1.0).is_empty()
+    with pytest.raises(NotImplementedError):
+        B.s2_buffer(from_wkt("LINESTRING (0 0, 1 1)"), 1000.0)
+
+
+def test_overlay_intersection():
+    tri = from_wkt("POLYGON ((0 0, 2 0, 0 2, 0 0))")
+    # empty / disjoint shortcuts (build.cc:1339-1359)
+    assert B.s2_intersection(tri, from_wkt("POINT EMPTY")).is_empty()
+    assert B.s2_intersection(tri, from_wkt("POLYGON ((30 30, 31 30, 30 31, 30 30))")).is_empty()
+    # point x polygon
+    mp = from_wkt("MULTIPOINT ((0.25 0.25), (-1 -1), (0.5 0.5))")
+    r = B.s2_intersection(mp, tri)
+    assert {tuple(p) for p in r.points} == {(0.25, 0.25), (0.5, 0.5)}
+    # line x polygon: clip
+    line = from_wkt("LINESTRING (-1 0.5, 3 0.5)")
+    clipped = B.s2_intersection(line, tri)
+    assert clipped.dimension() == 1
+    L = ops.s2_length(clipped)
+    # inside portion spans lng 0 -> ~1.5 at lat 0.5
+    assert L == pytest.approx(ops.s2_length(from_wkt("LINESTRING (0 0.5, 1.5 0.5)")), rel=2e-3)
+    # polygon containment fast path
+    inner = from_wkt("POLYGON ((0.1 0.1, 0.5 0.1, 0.1 0.5, 0.1 0.1))")
+    assert ops.s2_equals(B.s2_intersection(tri, inner), inner) is True
+    with pytest.raises(NotImplementedError):
+        B.s2_intersection(tri, from_wkt("POLYGON ((1 0, 3 0, 1 2, 1 0))"))
+
+
+def test_overlay_union_difference_symdiff():
+    tri = from_wkt("POLYGON ((0 0, 2 0, 0 2, 0 0))")
+    far = from_wkt("POLYGON ((30 30, 31 30, 30 31, 30 30))")
+    # union: empty regurgitation + disjoint concat (build.cc:1271-1299)
+    assert ops.s2_equals(B.s2_union(tri, from_wkt("POLYGON EMPTY")), tri) is True
+    u = B.s2_union(tri, far)
+    assert len(u.polys) == 2
+    inner = from_wkt("POLYGON ((0.1 0.1, 0.5 0.1, 0.1 0.5, 0.1 0.1))")
+    assert ops.s2_equals(B.s2_union(tri, inner), tri) is True
+    # difference
+    assert ops.s2_equals(B.s2_difference(tri, far), tri) is True
+    mp = from_wkt("MULTIPOINT ((0.25 0.25), (-1 -1))")
+    d = B.s2_difference(mp, tri)
+    assert {tuple(p) for p in d.points} == {(-1.0, -1.0)}
+    line = from_wkt("LINESTRING (-1 0.5, 3 0.5)")
+    dl = B.s2_difference(line, tri)
+    assert dl.dimension() == 1 and len(dl.lines) == 2
+    # symdifference of disjoint = both
+    sd = B.s2_sym_difference(tri, far)
+    assert len(sd.polys) == 2
+    assert ops.s2_equals(B.s2_sym_difference(tri, from_wkt("POLYGON EMPTY")), tri) is True
+
+
+def test_aggregates(spark):
+    from pyspark.sql import functions as F
+    from s2geography_spark.core.geog import to_wkb, from_wkb
+    from s2geography_spark.operators.aggregates import (centroid_agg,
+                                                        convex_hull_agg,
+                                                        union_agg)
+    rows = []
+    for k in range(40):
+        lng, lat = float(k % 8), float(k // 8)
+        rows.append((k % 2, to_wkb(from_wkt(f"POINT ({lng} {lat})"))))
+    df = spark.createDataFrame(rows, "grp int, geog binary")
+
+    cen = {r.grp: (r.centroid_lng, r.centroid_lat)
+           for r in centroid_agg(df, "geog", ["grp"]).collect()}
+    assert len(cen) == 2
+    for grp, (clng, clat) in cen.items():
+        pts = [(float(k % 8), float(k // 8)) for k in range(40) if k % 2 == grp]
+        v = sphere.lnglat_to_xyz(np.array(pts)).sum(axis=0)
+        v /= np.linalg.norm(v)
+        exp = sphere.xyz_to_lnglat(v)
+        assert clng == pytest.approx(exp[0], abs=1e-9)
+        assert clat == pytest.approx(exp[1], abs=1e-9)
+
+    hull = {r.grp: from_wkb(bytes(r.hull))
+            for r in convex_hull_agg(df, "geog", ["grp"]).collect()}
+    for grp, h in hull.items():
+        assert h.dimension() == 2
+        pts = [(float(k % 8), float(k // 8)) for k in range(40) if k % 2 == grp]
+        for lng, lat in pts:
+            assert ops.s2_contains(h, from_wkt(f"POINT ({lng} {lat})")) or \
+                sphere.point_on_boundary(
+                    sphere.lnglat_to_xyz(np.array([[lng, lat]])),
+                    *h.ring_edges_xyz(), eps=1e-9)[0]
+
+    un = {r.grp: from_wkb(bytes(r.geog_union))
+          for r in union_agg(df, "geog", ["grp"]).collect()}
+    for grp, u in un.items():
+        assert len(u.points) == 20  # all distinct points preserved
