@@ -574,6 +574,65 @@ def s2_line_locate_point(g: Optional[Geog], pt: Optional[Geog]) -> Optional[floa
     return float((cum[k] + sphere.angle(a[k], proj)) / total)
 
 
+def s2_find_validation_error(g: Optional[Geog]) -> Optional[str]:
+    """Validity check per dimension (accessors.cc:198-273 semantics):
+    returns None when valid, else a message.  Checks: polyline >= 2 distinct
+    vertices; ring closed with >= 3 distinct vertices; no duplicate adjacent
+    vertices; no ring self-crossings; coordinates finite."""
+    if g is None:
+        return None
+    for arr in ([g.points] + g.lines + [r for rings in g.polys for r in rings]):
+        a = np.asarray(arr, dtype=np.float64)
+        if a.size and not np.isfinite(a).all():
+            return "non-finite coordinate"
+    for l in g.lines:
+        if len(l) == 1:
+            return "polyline with a single vertex"
+        if len(l) >= 2 and (np.abs(np.diff(l, axis=0)).max(axis=1) == 0).any():
+            return "duplicate adjacent vertices in polyline"
+    for rings in g.polys:
+        for r in rings:
+            if len(r) == 0:
+                continue
+            if len(r) < 4:
+                return "ring with fewer than 3 distinct vertices"
+            if (r[0] != r[-1]).any():
+                return "ring not closed"
+            if (np.abs(np.diff(r, axis=0)).max(axis=1) == 0).any():
+                return "duplicate adjacent vertices in ring"
+            v = sphere.lnglat_to_xyz(r)
+            a, b = v[:-1], v[1:]
+            n = len(a)
+            if n > 2:
+                cr = sphere.arcs_cross(a[:, None, :], b[:, None, :],
+                                       a[None, :, :], b[None, :, :])
+                # adjacent edges share a vertex; only flag non-adjacent pairs
+                idx = np.arange(n)
+                adj = (np.abs(idx[:, None] - idx[None, :]) <= 1) | \
+                      (np.abs(idx[:, None] - idx[None, :]) == n - 1)
+                if (cr & ~adj).any():
+                    return "ring self-intersection"
+    return None
+
+
+def s2_is_valid(g: Optional[Geog]) -> Optional[bool]:
+    if g is None:
+        return None
+    return s2_find_validation_error(g) is None
+
+
+def s2_intersects_box(g: Optional[Geog], lng0: float, lat0: float,
+                      lng1: float, lat1: float,
+                      tessellate_deg: float = 1.0) -> Optional[bool]:
+    """intersects(geog, plate-carree rectangle) — the rect edges are
+    tessellated so they follow parallels (predicates.cc:75-111)."""
+    if g is None:
+        return None
+    from ..sources.regions import densified_rect  # local: avoids cycle
+    rect = densified_rect(lng0, lat0, lng1, lat1, step=tessellate_deg)
+    return s2_intersects(g, rect)
+
+
 # ---------------------------------------------------------------------------
 # coverings (coverings.cc:215-272) — adaptive region covering
 # ---------------------------------------------------------------------------

@@ -36,6 +36,13 @@ __all__ = [
     "st_boundingbox", "st_lineinterpolatepoint", "st_linelocatepoint",
     "s2_cellidfrompoint", "s2_coveringcellids", "s2_coveringcellids_buffered",
     "point_wkb_columns", "register_sql_functions",
+    "st_intersection", "st_union", "st_difference", "st_symdifference",
+    "st_convexhull", "st_pointonsurface", "st_touches", "st_simplify",
+    "st_reduceprecision", "st_buffer", "st_isvalid", "st_isvalidreason",
+    "s2_intersectsbox", "s2_cell_center", "s2_cell_distance",
+    "s2_cell_max_distance", "s2_cell_area", "s2_cell_common_ancestor_level",
+    "s2_cellfromtoken", "s2_celltodebugstring", "s2_cellfromdebugstring",
+    "multipoint_wkb",
 ]
 
 
@@ -364,6 +371,108 @@ def st_geogfromtext(a: pd.Series) -> pd.Series:
                      dtype=object)
 
 
+@pandas_udf(T.BooleanType())
+def st_isvalid(a: pd.Series) -> pd.Series:
+    return pd.Series([ops.s2_is_valid(g) for g in _decode_cache(a)],
+                     dtype=object)
+
+
+@pandas_udf(T.StringType())
+def st_isvalidreason(a: pd.Series) -> pd.Series:
+    out = []
+    for g in _decode_cache(a):
+        if g is None:
+            out.append(None)
+        else:
+            out.append(ops.s2_find_validation_error(g) or "Valid Geometry")
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.BooleanType())
+def s2_intersectsbox(a: pd.Series, lng0: pd.Series, lat0: pd.Series,
+                     lng1: pd.Series, lat1: pd.Series) -> pd.Series:
+    out = []
+    for g, x0, y0, x1, y1 in zip(_decode_cache(a), lng0, lat0, lng1, lat1):
+        if x0 is None or y0 is None or x1 is None or y1 is None:
+            out.append(None)
+        else:
+            out.append(ops.s2_intersects_box(g, x0, y0, x1, y1))
+    return pd.Series(out, dtype=object)
+
+
+# --- cell-op UDF surface (op/cell.cc parity where Column math can't) --------
+
+_LNGLAT_TYPE = T.StructType([T.StructField("lng", T.DoubleType()),
+                             T.StructField("lat", T.DoubleType())])
+
+
+@pandas_udf(_LNGLAT_TYPE)
+def s2_cell_center(a: pd.Series) -> pd.DataFrame:
+    ids = a.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+    lng, lat = C.to_lnglat(ids)
+    bad = a.isna().to_numpy() | ~C.is_valid(ids)
+    lng = np.where(bad, np.nan, lng)
+    lat = np.where(bad, np.nan, lat)
+    return pd.DataFrame({"lng": lng, "lat": lat})
+
+
+def _cell_pair_udf(fn):
+    @pandas_udf(T.DoubleType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        ia = a.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        ib = b.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        vals = fn(ia, ib)
+        out = pd.Series(vals, dtype=object)
+        out[(a.isna() | b.isna()).to_numpy()] = None
+        return out
+    return udf
+
+
+s2_cell_distance = _cell_pair_udf(C.cell_distance)
+s2_cell_max_distance = _cell_pair_udf(C.cell_max_distance)
+
+
+@pandas_udf(T.DoubleType())
+def s2_cell_area(a: pd.Series) -> pd.Series:
+    ids = a.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+    out = pd.Series(C.cell_area(ids), dtype=object)
+    out[a.isna().to_numpy()] = None
+    return out
+
+
+@pandas_udf(T.IntegerType())
+def s2_cell_common_ancestor_level(a: pd.Series, b: pd.Series) -> pd.Series:
+    ia = a.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+    ib = b.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+    out = pd.Series(C.common_ancestor_level(ia, ib), dtype=object)
+    out[(a.isna() | b.isna()).to_numpy()] = None
+    return out
+
+
+@pandas_udf(T.LongType())
+def s2_cellfromtoken(a: pd.Series) -> pd.Series:
+    vals = C.from_token([None if t is None else str(t) for t in a])
+    out = pd.Series(vals.view(np.int64), dtype=object)
+    out[a.isna().to_numpy()] = None
+    return out
+
+
+@pandas_udf(T.StringType())
+def s2_celltodebugstring(a: pd.Series) -> pd.Series:
+    ids = a.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+    out = pd.Series(C.to_debug_string(ids), dtype=object)
+    out[a.isna().to_numpy()] = None
+    return out
+
+
+@pandas_udf(T.LongType())
+def s2_cellfromdebugstring(a: pd.Series) -> pd.Series:
+    vals = C.from_debug_string([None if t is None else str(t) for t in a])
+    out = pd.Series(vals.view(np.int64), dtype=object)
+    out[a.isna().to_numpy()] = None
+    return out
+
+
 @pandas_udf(T.StringType())
 def st_astext(a: pd.Series) -> pd.Series:
     return pd.Series([to_wkt(g) for g in _decode_cache(a)], dtype=object)
@@ -442,6 +551,21 @@ def register_sql_functions(spark):
         "s2_cellidfrompoint": s2_cellidfrompoint,
         "s2_coveringcellids": s2_coveringcellids,
         "s2_coveringcellids_buffered": s2_coveringcellids_buffered,
+        "st_isvalid": st_isvalid, "st_isvalidreason": st_isvalidreason,
+        "s2_intersectsbox": s2_intersectsbox,
+        "st_intersection": st_intersection, "st_union": st_union,
+        "st_difference": st_difference, "st_symdifference": st_symdifference,
+        "st_convexhull": st_convexhull, "st_pointonsurface": st_pointonsurface,
+        "st_touches": st_touches, "st_simplify": st_simplify,
+        "st_reduceprecision": st_reduceprecision, "st_buffer": st_buffer,
+        "s2_cell_center": s2_cell_center, "s2_cell_distance": s2_cell_distance,
+        "s2_cell_max_distance": s2_cell_max_distance,
+        "s2_cell_area": s2_cell_area,
+        "s2_cell_common_ancestor_level": s2_cell_common_ancestor_level,
+        "s2_cellfromtoken": s2_cellfromtoken,
+        "s2_celltodebugstring": s2_celltodebugstring,
+        "s2_cellfromdebugstring": s2_cellfromdebugstring,
+        "multipoint_wkb": multipoint_wkb,
     }
     for name, fn in pairs.items():
         spark.udf.register(name, fn)

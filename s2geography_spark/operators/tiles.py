@@ -35,6 +35,40 @@ def xyz_tile_columns(lng_col, lat_col, zoom: int):
     return x, y
 
 
+def orthographic_xy_columns(lng_col, lat_col, center_lng: float, center_lat: float):
+    """Orthographic projection about a center (projections.h:12-22 analog):
+    unit-sphere tangent-plane x/y; pure Column trig."""
+    lng = F.col(lng_col) if isinstance(lng_col, str) else lng_col
+    lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lam = F.radians(lng) - math.radians(center_lng)
+    phi = F.radians(lat)
+    phi0 = math.radians(center_lat)
+    x = F.cos(phi) * F.sin(lam)
+    y = F.lit(math.cos(phi0)) * F.sin(phi) \
+        - F.lit(math.sin(phi0)) * F.cos(phi) * F.cos(lam)
+    return x, y
+
+
+def plate_carree_xy_columns(lng_col, lat_col):
+    """lnglat (plate carree) projection — identity in degrees
+    (projections.h:14)."""
+    lng = F.col(lng_col) if isinstance(lng_col, str) else lng_col
+    lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    return lng, lat
+
+
+def pseudo_mercator_xy_columns(lng_col, lat_col):
+    """Web-Mercator meters (projections.h:17): x = R*lam, y = R*ln(tan(pi/4+phi/2))."""
+    R = 6378137.0  # the projection's conventional sphere radius
+    lng = F.col(lng_col) if isinstance(lng_col, str) else lng_col
+    lat = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lat_c = F.greatest(F.least(lat, F.lit(MAX_MERCATOR_LAT)),
+                       F.lit(-MAX_MERCATOR_LAT))
+    x = F.radians(lng) * F.lit(R)
+    y = F.log(F.tan(F.lit(math.pi / 4) + F.radians(lat_c) / 2)) * F.lit(R)
+    return x, y
+
+
 def assign_tiles(df: DataFrame, *, lng: str = "lng", lat: str = "lat",
                  s2_levels=(4, 8, 12), mercator_zooms=(4, 8, 12)) -> DataFrame:
     """Add per-zoom tile key columns: s2_cell_l{L} and tile_z{z}_x/_y.
