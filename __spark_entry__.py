@@ -58,7 +58,8 @@ _REG_SQL = f"""
 
 def _regions(spark: SparkSession) -> DataFrame:
     from s2geography_spark.sources.regions import regions_df
-    return regions_df(spark, N_REGIONS)
+    # fixed-level covering -> single-key cover join (see operators/spatial_join)
+    return regions_df(spark, N_REGIONS, covering_level=6)
 
 
 # ---------------------------------------------------------------------------
@@ -70,14 +71,14 @@ def q_geo_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cover -> explode -> broadcast equi-join -> vectorized PIP refine)."""
     from s2geography_spark.operators.spatial_join import spatial_join
     pts = _customer_points(spark, sf_dir)
-    joined = spatial_join(pts, _regions(spark), predicate="contains")
+    joined = spatial_join(pts, _regions(spark), predicate="contains", level=6)
     return joined.select("c_custkey", "region_id")
 
 
 def q_geo_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geography_spark.operators.spatial_join import spatial_join
     pts = _customer_points(spark, sf_dir)
-    joined = spatial_join(pts, _regions(spark), predicate="contains")
+    joined = spatial_join(pts, _regions(spark), predicate="contains", level=6)
     return joined.groupBy("region_id").agg(F.count("*").alias("n_points"))
 
 
@@ -301,8 +302,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from s2geography_spark.sources.regions import regions_df
     pages = pages_df(spark, 5000)
     mentions = extract_mentions(pages, gazetteer_df(spark))
-    joined = spatial_join(mentions, regions_df(spark, N_REGIONS),
-                          predicate="contains")
+    joined = spatial_join(mentions, regions_df(spark, N_REGIONS, covering_level=6),
+                          predicate="contains", level=6)
     return (joined.groupBy("region_id")
             .agg(F.count("*").alias("n_mentions"),
                  F.countDistinct("url").alias("n_pages"))

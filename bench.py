@@ -28,9 +28,9 @@ def run_flagship(spark, n_pages: int):
 
     pages = pages_df(spark, n_pages)
     mentions = extract_mentions(pages, gazetteer_df(spark))
-    regions = regions_df(spark, 96)
+    regions = regions_df(spark, 96, covering_level=6)
     t0 = time.time()
-    joined = spatial_join(mentions, regions, predicate="contains")
+    joined = spatial_join(mentions, regions, predicate="contains", level=6)
     out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
     dt = time.time() - t0
     rows_in = int(sum(i % 6 for i in range(n_pages)))  # exact mention count
