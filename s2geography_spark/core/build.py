@@ -377,13 +377,18 @@ def s2_intersection(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
     if g2.dimension() == 1 and g1.dimension() == 2:
         lines = [c for l in g2.lines for c in _clip_line_to_polygon(l, g1, True)]
         return Geog(lines=lines, typ=2)
-    # polygon x polygon: containment fast paths
+    # polygon x polygon: containment fast paths, else boundary tracing
     if s2_contains(g1, g2):
         return Geog(polys=[[r.copy() for r in rings] for rings in g2.polys])
     if s2_contains(g2, g1):
         return Geog(polys=[[r.copy() for r in rings] for rings in g1.polys])
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        from .overlay import overlay_shells
+        res = overlay_shells(_all_rings(g1), _all_rings(g2), "intersection")
+        if res is not None:
+            return res
     raise NotImplementedError(
-        "general polygon/polygon or line/line overlay not implemented in round 1")
+        "unsupported overlay combination (e.g. line x line) in round 1")
 
 
 def s2_union(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
@@ -405,8 +410,13 @@ def s2_union(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
     if g1.dimension() == 0 and g2.dimension() == 0:
         pts = np.unique(np.vstack([g1.points, g2.points]), axis=0)
         return Geog(points=pts, typ=1)
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        from .overlay import overlay_shells
+        res = overlay_shells(_all_rings(g1), _all_rings(g2), "union")
+        if res is not None:
+            return res
     raise NotImplementedError(
-        "general overlapping union not implemented in round 1")
+        "unsupported union combination in round 1")
 
 
 def s2_difference(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
@@ -430,8 +440,37 @@ def s2_difference(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
     if g1.dimension() == 1 and g2.dimension() == 2:
         lines = [c for l in g1.lines for c in _clip_line_to_polygon(l, g2, False)]
         return Geog(lines=lines, typ=2)
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        if s2_contains(g2, g1):
+            return Geog(typ=3)  # fully erased
+        from .overlay import overlay_shells
+        if s2_contains(g1, g2):
+            # B strictly interior to A, no boundary crossings: punch each
+            # B shell into the A shell that contains it as a CW hole
+            polys = [[r.copy() for r in rings] for rings in g1.polys]
+            for rings2 in g2.polys:
+                if not rings2:
+                    continue
+                hole = rings2[0][::-1].copy()  # shell CCW -> hole CW
+                p0 = sphere.lnglat_to_xyz(rings2[0][:1])
+                for rings in polys:
+                    shell = Geog(polys=[[rings[0]]])
+                    ra, rb = shell.ring_edges_xyz()
+                    if sphere.contains_points(p0, ra, rb)[0]:
+                        rings.append(hole)
+                        break
+            return Geog(polys=polys)
+        res = overlay_shells(_all_rings(g1), _all_rings(g2), "difference")
+        if res is not None:
+            return res
     raise NotImplementedError(
-        "polygon difference not implemented in round 1")
+        "unsupported difference combination in round 1")
+
+
+def _all_rings(g: Geog):
+    """Every ring (shells CCW + holes CW) — the winding-based overlay
+    consumes them directly."""
+    return [r for rings in g.polys for r in rings]
 
 
 def s2_sym_difference(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:

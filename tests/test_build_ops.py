@@ -148,8 +148,9 @@ def test_overlay_intersection():
     # polygon containment fast path
     inner = from_wkt("POLYGON ((0.1 0.1, 0.5 0.1, 0.1 0.5, 0.1 0.1))")
     assert ops.s2_equals(B.s2_intersection(tri, inner), inner) is True
-    with pytest.raises(NotImplementedError):
-        B.s2_intersection(tri, from_wkt("POLYGON ((1 0, 3 0, 1 2, 1 0))"))
+    # general crossing overlay (tests/test_overlay.py verifies exactness)
+    crossing = B.s2_intersection(tri, from_wkt("POLYGON ((1 0, 3 0, 1 2, 1 0))"))
+    assert crossing.dimension() == 2 and ops.s2_area(crossing) > 0
 
 
 def test_overlay_union_difference_symdiff():
