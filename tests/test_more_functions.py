@@ -38,7 +38,7 @@ def test_build_op_udfs(spark):
     tri = wkb("POLYGON ((0 0, 2 0, 0 2, 0 0))")
     rows = [(0, tri, wkb("MULTIPOINT ((0.25 0.25), (-1 -1))")),
             (1, tri, wkb("POLYGON ((30 30, 31 30, 30 31, 30 30))")),
-            (2, tri, wkb("POLYGON ((1 0, 3 0, 1 2, 1 0))"))]  # unsupported overlay
+            (2, tri, wkb("POLYGON ((1 0, 3 0, 1 2, 1 0))"))]  # crossing overlay
     df = spark.createDataFrame(rows, "id long, a binary, b binary")
     out = (df.select("id",
                      sf.st_intersection("a", "b").alias("i"),
@@ -50,7 +50,7 @@ def test_build_op_udfs(spark):
     g0 = from_wkb(bytes(out[0].i))
     assert {tuple(p) for p in g0.points} == {(0.25, 0.25)}
     assert from_wkb(bytes(out[1].i)).is_empty()
-    assert out[2].i is None  # general polygon overlay unsupported -> null
+    assert from_wkb(bytes(out[2].i)).dimension() == 2  # crossing overlay works
     assert from_wkb(bytes(out[1].u)).dimension() == 2
     assert from_wkb(bytes(out[0].h)).dimension() == 2
     assert out[0].t is False  # overlapping interior, not touching
