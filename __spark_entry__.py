@@ -174,6 +174,58 @@ def q_geo_distance_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.floor(d / 1000.0).cast("long").alias("dist_km"))
 
 
+def q_geo_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise region intersection AREAS via the general spherical overlay
+    (Weiler-Atherton, core/overlay.py) — oracled by the exact lat/lng-box
+    spherical area formula R^2 * (sin(lat1)-sin(lat0)) * dlng_rad, bucketed
+    to 1e10 m^2 (densified-edge polygons track true boxes to ~1e-5 rel)."""
+    import numpy as np
+    from s2geography_spark.core.geog import to_wkb
+    from s2geography_spark.functions.geo import st_intersection_area
+    from s2geography_spark.sources.regions import densified_rect, region_corners
+
+    regions = _regions(spark).select("region_id", "lng0", "lat0", "lng1", "lat1", "geog")
+    a = regions.select(F.col("region_id").alias("ra"), F.col("lng0").alias("alng0"),
+                       F.col("lat0").alias("alat0"), F.col("lng1").alias("alng1"),
+                       F.col("lat1").alias("alat1"), F.col("geog").alias("ga"))
+    # second set: every region shifted by (+2, +1) degrees -> guaranteed
+    # overlapping pairs with its source region
+    rs = np.arange(N_REGIONS)
+    l0, t0, l1, t1 = region_corners(rs)
+    rows_b = [(int(r) + 1000, float(l0[i] + 2), float(t0[i] + 1),
+               float(l1[i] + 2), float(t1[i] + 1),
+               to_wkb(densified_rect(float(l0[i] + 2), float(t0[i] + 1),
+                                     float(l1[i] + 2), float(t1[i] + 1))))
+              for i, r in enumerate(rs)]
+    b = spark.createDataFrame(
+        rows_b, "rb long, blng0 double, blat0 double, blng1 double,"
+                " blat1 double, gb binary")
+    # candidate pairs: bbox overlap with positive interior (JVM-side)
+    pair = (a.crossJoin(F.broadcast(b))
+            .where((F.greatest("alng0", "blng0") < F.least("alng1", "blng1"))
+                   & (F.greatest("alat0", "blat0") < F.least("alat1", "blat1"))))
+
+    return pair.select(
+        "ra", "rb",
+        F.floor(st_intersection_area("ga", "gb") / 1e10).cast("long")
+         .alias("area_bucket"))
+
+
+def q_geo_dwithin_500km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers within 500 km of a region center (buffered-distance join:
+    exact vectorized point distances, the st_dwithin join predicate)."""
+    from s2geography_spark.functions.geo import _point_wkb_udf
+    from s2geography_spark.operators.spatial_join import distance_to_geog_udf
+    pts = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 400)
+    centers = _regions(spark).select(
+        "region_id",
+        _point_wkb_udf((F.col("lng0") + F.col("lng1")) / 2.0,
+                       (F.col("lat0") + F.col("lat1")) / 2.0).alias("geog"))
+    pair = pts.crossJoin(F.broadcast(centers))
+    d = distance_to_geog_udf(F.col("geog"), F.col("lng"), F.col("lat"))
+    return pair.where(d <= 500000.0).select("c_custkey", "region_id")
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / similarity pipeline queries
 # ---------------------------------------------------------------------------
@@ -319,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tiles_z8": q_geo_tiles_z8,
         "geo_s2_tiles_l8": q_geo_s2_tiles_l8,
         "geo_bbox_nation": q_geo_bbox_nation,
+        "geo_overlap_area": q_geo_overlap_area,
+        "geo_dwithin_500km": q_geo_dwithin_500km,
         "geo_distance_km": q_geo_distance_km,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -416,6 +470,38 @@ def oracle_sql() -> dict[str, str]:
                    * sin(radians(s.slng - c.lng)/2)*sin(radians(s.slng - c.lng)/2)))
                  * 6371010.0 / 1000.0) AS BIGINT) AS dist_km
         FROM cust c JOIN supp s ON c.c_nationkey = s.s_nationkey
+    """
+
+    sqls["geo_overlap_area"] = f"""
+        WITH reg AS ({_REG_SQL}),
+        regb AS (SELECT region_id + 1000 AS region_id, lng0 + 2 AS lng0,
+                        lat0 + 1 AS lat0, lng1 + 2 AS lng1, lat1 + 1 AS lat1
+                 FROM ({_REG_SQL})),
+        p AS (SELECT a.region_id AS ra, b.region_id AS rb,
+                     greatest(a.lng0, b.lng0) AS ilng0,
+                     least(a.lng1, b.lng1) AS ilng1,
+                     greatest(a.lat0, b.lat0) AS ilat0,
+                     least(a.lat1, b.lat1) AS ilat1
+              FROM reg a JOIN regb b ON true
+             WHERE greatest(a.lng0, b.lng0) < least(a.lng1, b.lng1)
+               AND greatest(a.lat0, b.lat0) < least(a.lat1, b.lat1))
+        SELECT ra, rb,
+               CAST(floor(6371010.0 * 6371010.0
+                    * (sin(radians(ilat1)) - sin(radians(ilat0)))
+                    * radians(ilng1 - ilng0) / 1e10) AS BIGINT) AS area_bucket
+        FROM p
+    """
+
+    sqls["geo_dwithin_500km"] = f"""
+        WITH pts AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 400),
+        ctr AS (SELECT region_id, (lng0+lng1)/2.0 AS clng, (lat0+lat1)/2.0 AS clat
+                FROM ({_REG_SQL}))
+        SELECT p.c_custkey, c.region_id
+        FROM pts p CROSS JOIN ctr c
+        WHERE 2*asin(sqrt( sin(radians(c.clat - p.lat)/2)*sin(radians(c.clat - p.lat)/2)
+              + cos(radians(p.lat))*cos(radians(c.clat))
+                * sin(radians(c.clng - p.lng)/2)*sin(radians(c.clng - p.lng)/2)))
+              * 6371010.0 <= 500000.0
     """
 
     sqls["text_stats"] = r"""

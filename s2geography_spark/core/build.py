@@ -467,6 +467,22 @@ def s2_difference(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
         "unsupported difference combination in round 1")
 
 
+def s2_unary_union(g: Optional[Geog]) -> Optional[Geog]:
+    """Union of all parts of one geography (build.cc:157-257 analog for
+    valid inputs): folds the general union over polygon parts; points and
+    lines are deduplicated/concatenated."""
+    if g is None:
+        return None
+    acc: Optional[Geog] = None
+    for rings in g.polys:
+        part = Geog(polys=[[r.copy() for r in rings]])
+        acc = part if acc is None else s2_union(acc, part)
+    pts = np.unique(g.points, axis=0) if len(g.points) else None
+    out = Geog(points=pts, lines=[l.copy() for l in g.lines],
+               polys=acc.polys if acc is not None else [], typ=g.typ)
+    return out
+
+
 def _all_rings(g: Geog):
     """Every ring (shells CCW + holes CW) — the winding-based overlay
     consumes them directly."""

@@ -42,7 +42,7 @@ __all__ = [
     "s2_intersectsbox", "s2_cell_center", "s2_cell_distance",
     "s2_cell_max_distance", "s2_cell_area", "s2_cell_common_ancestor_level",
     "s2_cellfromtoken", "s2_celltodebugstring", "s2_cellfromdebugstring",
-    "multipoint_wkb",
+    "multipoint_wkb", "st_intersection_area", "st_unaryunion",
 ]
 
 
@@ -336,6 +336,30 @@ def st_reduceprecision(a: pd.Series, exp: pd.Series) -> pd.Series:
          for g, e in zip(_decode_cache(a), exp)], dtype=object)
 
 
+@pandas_udf(T.DoubleType())
+def st_intersection_area(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Area (m^2) of the pairwise intersection — one decode+overlay per row
+    with the shared decode cache."""
+    out = []
+    for x, y in zip(_decode_cache(a), _decode_cache(b)):
+        try:
+            out.append(ops.s2_area(_build.s2_intersection(x, y)))
+        except NotImplementedError:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def st_unaryunion(a: pd.Series) -> pd.Series:
+    out = []
+    for g in _decode_cache(a):
+        try:
+            out.append(to_wkb(_build.s2_unary_union(g)))
+        except NotImplementedError:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 @pandas_udf(T.BinaryType())
 def st_buffer(a: pd.Series, dist: pd.Series) -> pd.Series:
     out = []
@@ -566,6 +590,8 @@ def register_sql_functions(spark):
         "s2_celltodebugstring": s2_celltodebugstring,
         "s2_cellfromdebugstring": s2_cellfromdebugstring,
         "multipoint_wkb": multipoint_wkb,
+        "st_intersection_area": st_intersection_area,
+        "st_unaryunion": st_unaryunion,
     }
     for name, fn in pairs.items():
         spark.udf.register(name, fn)
