@@ -329,21 +329,24 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     if prep is not None:
         # broadcast-dim fast path: the candidate join carries ONLY the int
         # region id; polygons travel once via a broadcast variable and are
-        # decoded/prepared per worker (geog WKB never crosses Arrow per row)
-        cand = pts.join(F.broadcast(prep.exploded), ["_ck"], "inner")
-        # JVM-side bbox prefilter (the reference's covering/bbox-prefilter
-        # idea, predicates.cc:174-186): drops most false candidates before
-        # the Python refine hop; handles antimeridian-wrapped boxes
+        # decoded/prepared per worker (geog WKB never crosses Arrow per row).
+        # The bbox prefilter (predicates.cc:174-186 analog) is part of the
+        # JOIN CONDITION — a post-join .where() would be combined with the
+        # refine predicate and pulled ABOVE ArrowEvalPython by Catalyst's
+        # python-UDF extraction, defeating the prefilter.
+        ex = prep.exploded
         eps = 1e-9
-        lat_ok = (F.col(lat) >= F.col("_ymin") - eps) & \
-                 (F.col(lat) <= F.col("_ymax") + eps)
+        lat_ok = (pts[lat] >= ex["_ymin"] - eps) & (pts[lat] <= ex["_ymax"] + eps)
         lng_in = F.when(
-            F.col("_xmin") <= F.col("_xmax"),
-            (F.col(lng) >= F.col("_xmin") - eps) & (F.col(lng) <= F.col("_xmax") + eps)
-        ).otherwise((F.col(lng) >= F.col("_xmin") - eps)
-                    | (F.col(lng) <= F.col("_xmax") + eps))
-        bbox_ok = F.col("_xmin").isNull() | (lat_ok & lng_in)
-        cand = cand.where(bbox_ok).drop("_xmin", "_ymin", "_xmax", "_ymax")
+            ex["_xmin"] <= ex["_xmax"],
+            (pts[lng] >= ex["_xmin"] - eps) & (pts[lng] <= ex["_xmax"] + eps)
+        ).otherwise((pts[lng] >= ex["_xmin"] - eps)
+                    | (pts[lng] <= ex["_xmax"] + eps))
+        bbox_ok = ex["_xmin"].isNull() | (lat_ok & lng_in)
+        cond = (pts["_ck"] == ex["_ck"]) & bbox_ok
+        cand = (pts.join(F.broadcast(ex), cond, "inner")
+                .drop(ex["_ck"])
+                .drop("_xmin", "_ymin", "_xmax", "_ymax"))
         # interior-cell shortcut: candidates in cells fully inside the
         # region skip the winding math inside the refine kernel
         refine = _refine_by_region_udf(prep.bc, region_id, model=model)
