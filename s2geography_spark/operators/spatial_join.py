@@ -263,6 +263,31 @@ def prepare_regions(spark, regions: DataFrame, *, region_geog: str = "geog",
     return PreparedRegions(spark, regions, region_geog, region_id, covering_col)
 
 
+def choose_salt(points: DataFrame, *, lng: str = "lng", lat: str = "lat",
+                level: int = 6, sample_fraction: float = 0.01,
+                target_ratio: float = 2.0, max_salt: int = 64) -> int:
+    """Pick a salt factor for the shuffle join from a sampled per-cell
+    histogram (SURVEY.md §7.3: web-scale geo-entities concentrate in few
+    cells — cities — so the factor must come from the data, not a guess).
+
+    salt = hottest-cell share relative to the mean cell load, clamped; 1
+    means no salting needed.  One cheap sampled aggregation job."""
+    sample = points.sample(fraction=sample_fraction, seed=42) if \
+        sample_fraction < 1.0 else points
+    hist = (sample
+            .withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
+            .withColumn("_cell", cell_parent(F.col("_leaf"), int(level)))
+            .groupBy("_cell").count())
+    stats = hist.agg(F.max("count").alias("mx"), F.avg("count").alias("avg")) \
+        .collect()[0]
+    if not stats.mx or not stats.avg:
+        return 1
+    skew = float(stats.mx) / max(float(stats.avg), 1.0)
+    if skew <= target_ratio:
+        return 1
+    return int(min(max_salt, int(np.ceil(skew / target_ratio))))
+
+
 def spatial_join(points: DataFrame, regions: DataFrame, *,
                  lng: str = "lng", lat: str = "lat",
                  region_geog: str = "geog",

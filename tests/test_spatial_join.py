@@ -136,3 +136,20 @@ def test_knn_matches_brute_force(spark, mentions):
         assert mine == expect, (pid, mine, dists[:4])
         for (rank, rid, dm), (ed, erid) in zip(sorted(got[pid]), dists[:3]):
             assert dm == pytest.approx(ed, abs=1e-6)
+
+
+def test_choose_salt(spark):
+    from s2geography_spark.operators.spatial_join import choose_salt
+    # uniform points -> no salting
+    uniform = spark.range(5000).select(
+        (F.pmod(F.col("id") * 37, F.lit(1440)) / 4.0 - 180.0).alias("lng"),
+        (F.pmod(F.col("id") * 23, F.lit(640)) / 4.0 - 80.0).alias("lat"))
+    assert choose_salt(uniform, sample_fraction=1.0) == 1
+    # 80% of points in one city cell -> salt > 1
+    hot = spark.range(5000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(2.35)).otherwise(
+            F.pmod(F.col("id") * 37, F.lit(1440)) / 4.0 - 180.0).alias("lng"),
+        F.when(F.col("id") % 5 != 0, F.lit(48.85)).otherwise(
+            F.pmod(F.col("id") * 23, F.lit(640)) / 4.0 - 80.0).alias("lat"))
+    s = choose_salt(hot, sample_fraction=1.0)
+    assert s > 4
