@@ -249,8 +249,13 @@ class PreparedRegions:
             exploded = exploded.withColumn("_full", F.lit(False))
         exploded = exploded.withColumn("_ck", cell_join_key(F.col("cell_id"))) \
             .drop("cell_id")
-        self.exploded = exploded.join(bbox_df, region_id).cache()
-        self.exploded.count()  # materialize once
+        joined = exploded.join(bbox_df, region_id)
+        # materialize to a literal local DataFrame: the dim is small by
+        # contract, and a LocalRelation keeps every downstream query's plan
+        # flat (a cached multi-join plan would be re-analyzed and
+        # re-broadcast from scratch on each query)
+        rows = joined.collect()
+        self.exploded = spark.createDataFrame(rows, joined.schema)
         self.levels = covering_levels(regions, covering_col)
 
 

@@ -66,7 +66,7 @@ def main():
     levels = {}
     for cpus in (2, 8, 32):
         levels[cpus] = json.loads(run(CHILD.format(
-            repo=REPO, cpus=cpus, path=path, warm_path=warm, reps=3)))
+            repo=REPO, cpus=cpus, path=path, warm_path=warm, reps=4)))
 
     def eff(lo, hi):
         return round((levels[hi]["rows_per_sec"] / levels[lo]["rows_per_sec"]) / 4.0, 3)
