@@ -94,7 +94,7 @@ mentions (leaf cell ids embedded at ingest) -> fixed-level cell key ->
 broadcast cover join (xor-mixed keys) -> JVM bbox prefilter -> vectorized
 winding-number PIP refine with interior-cell shortcut -> per-region rollup.
 Input: {pages:,} pages -> {levels[8]['mentions']:,} mentions, 96 regions,
-{levels[8]['out']:,} output join rows (identical at every level).  Best of 3
+{levels[8]['out']:,} output join rows (identical at every level).  Best of 4
 runs per level after warm-up:
 
 | parallelism | wall sec | join rows/sec |
