@@ -255,38 +255,91 @@ def s2_reduce_precision(g: Optional[Geog], grid_exponent: int) -> Optional[Geog]
 # buffer (points exactly; others unsupported natively in round 1)
 # ---------------------------------------------------------------------------
 
+def _point_circle_ring(c_xyz: np.ndarray, r: float, n: int) -> np.ndarray:
+    """Closed CCW lnglat ring of the geodesic circle around c (radius r rad)."""
+    e1 = np.cross(c_xyz, [0.0, 0.0, 1.0])
+    if np.linalg.norm(e1) < 1e-12:
+        e1 = np.cross(c_xyz, [1.0, 0.0, 0.0])
+    e1 = e1 / np.linalg.norm(e1)
+    e2 = np.cross(c_xyz, e1)
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    ring_xyz = (np.cos(r) * c_xyz[None, :]
+                + np.sin(r) * (np.cos(th)[:, None] * e1[None, :]
+                               + np.sin(th)[:, None] * e2[None, :]))
+    ring = sphere.xyz_to_lnglat(ring_xyz)
+    ring = np.vstack([ring, ring[:1]])
+    if sphere.ring_signed_area(sphere.lnglat_to_xyz(ring)) < 0:
+        ring = ring[::-1].copy()
+    return ring
+
+
+def _edge_capsule_ring(a_xyz: np.ndarray, b_xyz: np.ndarray, r: float,
+                       quad_segs: int) -> np.ndarray:
+    """Closed CCW ring buffering one geodesic edge by r: two exact offset
+    small-circle curves (pole = the edge's great-circle normal) + round caps."""
+    n = np.cross(a_xyz, b_xyz)
+    nn = np.linalg.norm(n)
+    if nn == 0:
+        return _point_circle_ring(a_xyz, r, 4 * quad_segs)
+    n = n / nn
+    theta = float(sphere.angle(a_xyz, b_xyz))
+    m = max(int(np.ceil(theta / max(r, 1e-6) * 2)), 2)
+    ts = np.linspace(0.0, 1.0, m + 1)
+    path = np.array([sphere.arc_interpolate(a_xyz, b_xyz, t) for t in ts])
+    left = np.cos(r) * path + np.sin(r) * n[None, :]     # offset small circle
+    right = np.cos(r) * path - np.sin(r) * n[None, :]
+    # round caps: rotate from +n to -n through the outward tangent
+    def cap(center, outward):
+        t_hat = outward / np.linalg.norm(outward)
+        th = np.linspace(0, np.pi, 2 * quad_segs + 1)[1:-1]
+        dirs = np.cos(th)[:, None] * n[None, :] + np.sin(th)[:, None] * t_hat[None, :]
+        return np.cos(r) * center[None, :] + np.sin(r) * dirs
+
+    cap_b = cap(b_xyz, np.cross(n, b_xyz))          # +n -> -n via forward
+    cap_a = cap(a_xyz, -np.cross(n, a_xyz))[::-1]   # -n -> +n via backward
+    ring_xyz = np.vstack([left, cap_b, right[::-1], cap_a])
+    ring = sphere.xyz_to_lnglat(ring_xyz)
+    ring = np.vstack([ring, ring[:1]])
+    if sphere.ring_signed_area(sphere.lnglat_to_xyz(ring)) < 0:
+        ring = ring[::-1].copy()
+    return ring
+
+
 def s2_buffer(g: Optional[Geog], distance_m: float,
               quad_segs: int = 8) -> Optional[Geog]:
-    """Spherical buffer.  Points -> exact geodesic circles (4*quad_segs
-    vertices); degenerate distance -> POLYGON EMPTY (build.cc:1618-1623)."""
+    """Spherical buffer for points, lines and polygons.
+
+    Points -> exact geodesic circles (4*quad_segs vertices).  Lines ->
+    union of per-edge capsules (exact small-circle offsets + round caps).
+    Polygons -> polygon ∪ buffered boundary (positive distance).
+    Degenerate distance -> POLYGON EMPTY (build.cc:1618-1623)."""
     if g is None:
         return None
     if distance_m <= 0 or g.is_empty():
         return Geog(typ=3)
-    if g.lines or g.polys:
-        raise NotImplementedError(
-            "native line/polygon buffering is not yet implemented; use "
-            "s2_covering_buffered for join-level buffered candidates")
     r = distance_m / EARTH_RADIUS_METERS
-    n = max(4 * quad_segs, 8)
-    polys = []
+    n_circle = max(4 * quad_segs, 8)
+    pieces: List[Geog] = []
     for lng, lat in g.points:
         c = sphere.lnglat_to_xyz(np.array([lng, lat]))
-        e1 = np.cross(c, [0.0, 0.0, 1.0])
-        if np.linalg.norm(e1) < 1e-12:
-            e1 = np.cross(c, [1.0, 0.0, 0.0])
-        e1 /= np.linalg.norm(e1)
-        e2 = np.cross(c, e1)
-        th = np.linspace(0, 2 * np.pi, n, endpoint=False)
-        ring_xyz = (np.cos(r) * c[None, :]
-                    + np.sin(r) * (np.cos(th)[:, None] * e1[None, :]
-                                   + np.sin(th)[:, None] * e2[None, :]))
-        ring = sphere.xyz_to_lnglat(ring_xyz)
-        ring = np.vstack([ring, ring[:1]])
-        if sphere.ring_signed_area(sphere.lnglat_to_xyz(ring)) < 0:
-            ring = ring[::-1].copy()
-        polys.append([ring])
-    return Geog(polys=polys)
+        pieces.append(Geog(polys=[[_point_circle_ring(c, r, n_circle)]]))
+    chains = [l for l in g.lines if len(l) >= 2]
+    for rings in g.polys:
+        for rr in rings:
+            if len(rr) >= 4:
+                chains.append(rr)
+    for chain in chains:
+        v = sphere.lnglat_to_xyz(chain)
+        for i in range(len(v) - 1):
+            pieces.append(Geog(polys=[[
+                _edge_capsule_ring(v[i], v[i + 1], r, quad_segs)]]))
+    if g.polys:
+        pieces.append(Geog(polys=[[rr.copy() for rr in rings]
+                                  for rings in g.polys]))
+    acc = pieces[0]
+    for p in pieces[1:]:
+        acc = s2_union(acc, p)
+    return acc
 
 
 # ---------------------------------------------------------------------------

@@ -273,6 +273,16 @@ def s2_contains(g1, g2) -> Optional[bool]:
     ea, eb = g2.all_edges_xyz()
     if _edges_cross_any(ea, eb, ra, rb):
         return False
+    # a hole of g1 entirely inside g2 breaks containment without any
+    # vertex/crossing evidence: test one vertex of every g1 hole ring
+    ra2, rb2 = g2.ring_edges_xyz()
+    if len(ra2):
+        hole_firsts = [rings[k][0] for rings in g1.polys
+                       for k in range(1, len(rings)) if len(rings[k]) >= 4]
+        if hole_firsts:
+            pts = sphere.lnglat_to_xyz(np.asarray(hole_firsts))
+            if sphere.contains_points(pts, ra2, rb2, model="open").any():
+                return False
     return True
 
 

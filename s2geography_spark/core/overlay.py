@@ -222,7 +222,9 @@ def overlay_shells(a_rings: List[np.ndarray], b_rings: List[np.ndarray],
 
 def _overlay_shells_generic(av_list, bv_list, op: str) -> Optional[Geog]:
 
-    # global crossing discovery
+    # global crossing discovery.  Zero crossings is NOT an early-out: the
+    # per-ring keep rules below correctly assemble every nesting case
+    # (disjoint concat, containment, holes swallowed by the other side).
     per_a = [[] for _ in av_list]
     per_b = [[] for _ in bv_list]
     gid = 0
@@ -232,8 +234,6 @@ def _overlay_shells_generic(av_list, bv_list, op: str) -> Optional[Geog]:
                 per_a[i].append((ai, ta, gid, p))
                 per_b[j].append((bi, tb, gid, p))
                 gid += 1
-    if gid == 0:
-        return None
 
     ea = _all_edges(av_list)
     eb = _all_edges(bv_list)

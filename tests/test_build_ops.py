@@ -125,8 +125,29 @@ def test_buffer_point():
     assert ops.s2_contains(buf, near) is True
     assert ops.s2_contains(buf, far) is False
     assert B.s2_buffer(g, -1.0).is_empty()
-    with pytest.raises(NotImplementedError):
-        B.s2_buffer(from_wkt("LINESTRING (0 0, 1 1)"), 1000.0)
+
+
+def test_buffer_line_and_polygon():
+    R = ops.EARTH_RADIUS_METERS
+    r = 50000.0
+    # line buffer area ~ L*2r + pi r^2 (capsule)
+    line = from_wkt("LINESTRING (10 45, 12 45)")
+    buf = B.s2_buffer(line, r)
+    approx = ops.s2_length(line) * 2 * r + np.pi * r * r
+    assert ops.s2_area(buf) == pytest.approx(approx, rel=1e-2)
+    assert ops.s2_contains(buf, from_wkt("POINT (11 45.43)")) is True  # ~48 km
+    assert ops.s2_contains(buf, from_wkt("POINT (11 45.47)")) is False  # ~52 km
+    # polygon buffer area ~ A + P*r + pi r^2
+    poly = from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    bp = B.s2_buffer(poly, r)
+    approx2 = ops.s2_area(poly) + ops.s2_perimeter(poly) * r + np.pi * r * r
+    assert ops.s2_area(bp) == pytest.approx(approx2, rel=1e-2)
+    assert ops.s2_contains(bp, from_wkt("POINT (2.44 1)")) is True
+    assert ops.s2_contains(bp, from_wkt("POINT (2.5 2.5)")) is False
+    # corner polyline: the joint is rounded and filled
+    zig = B.s2_buffer(from_wkt("LINESTRING (0 0, 1 0, 1 1)"), 30000.0)
+    assert ops.s2_contains(zig, from_wkt("POINT (1 0.5)")) is True
+    assert ops.s2_contains(zig, from_wkt("POINT (0.5 0.1)")) is True
 
 
 def test_overlay_intersection():
