@@ -404,6 +404,58 @@ def _points_in_polygon_mask(pts_lnglat: np.ndarray, poly: Geog):
                                   model="closed")
 
 
+def _points_intersect_mask(pts_lnglat: np.ndarray, other: Geog):
+    """Closed-model point-intersects-geography mask: inside polygons, on any
+    edge, or coincident with a point of `other`."""
+    n = len(pts_lnglat)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    xyz = sphere.lnglat_to_xyz(np.asarray(pts_lnglat, dtype=np.float64))
+    out = _points_in_polygon_mask(pts_lnglat, other)
+    ea, eb = other.all_edges_xyz()
+    if len(ea):
+        d = sphere.point_arc_distance(xyz[:, None, :], ea[None, :, :],
+                                      eb[None, :, :]).min(axis=1)
+        out |= d <= EPS_RAD
+    if len(other.points):
+        gp = other.points_xyz()
+        d = sphere.angle(xyz[:, None, :], gp[None, :, :]).min(axis=1)
+        out |= d <= EPS_RAD
+    return out
+
+
+def _line_line_crossings(g1: Geog, g2: Geog) -> np.ndarray:
+    """Crossing points (lnglat) between the polylines of two geographies."""
+    e1a, e1b = g1.line_edges_xyz()
+    e2a, e2b = g2.line_edges_xyz()
+    if len(e1a) == 0 or len(e2a) == 0:
+        return np.zeros((0, 2))
+    mask = sphere.arcs_cross(e1a[:, None, :], e1b[:, None, :],
+                             e2a[None, :, :], e2b[None, :, :])
+    pts = []
+    for i, j in zip(*np.where(mask)):
+        n1 = np.cross(e1a[i], e1b[i])
+        n2 = np.cross(e2a[j], e2b[j])
+        p = np.cross(n1, n2)
+        nn = np.linalg.norm(p)
+        if nn == 0:
+            continue
+        p = p / nn
+        if sphere.angle(e1a[i], p) + sphere.angle(p, e1b[i]) > \
+                sphere.angle(e1a[i], e1b[i]) + 1e-12:
+            p = -p
+        pts.append(sphere.xyz_to_lnglat(p))
+    # shared endpoints also intersect (closed model)
+    v1 = np.vstack([e1a, e1b])
+    v2 = np.vstack([e2a, e2b])
+    d = sphere.angle(v1[:, None, :], v2[None, :, :])
+    for i in np.where((d <= EPS_RAD).any(axis=1))[0]:
+        pts.append(sphere.xyz_to_lnglat(v1[i]))
+    if not pts:
+        return np.zeros((0, 2))
+    return np.unique(np.round(np.array(pts), 12), axis=0)
+
+
 def s2_intersection(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
     """Overlay intersection for the supported cases: any-empty / disjoint
     fast paths (build.cc:1339-1359); (multi)point x any; line x polygon.
@@ -418,11 +470,10 @@ def s2_intersection(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
     # point side handling (either side)
     for a, b, in ((g1, g2), (g2, g1)):
         if a.dimension() == 0:
-            keep = _points_in_polygon_mask(a.points, b)
-            # points on b's lines/points also intersect
             if b.dimension() == 0:
                 common = {tuple(p) for p in a.points} & {tuple(p) for p in b.points}
                 return Geog(points=np.array(sorted(common)) if common else None, typ=1)
+            keep = _points_intersect_mask(a.points, b)
             return Geog(points=a.points[keep], typ=1)
     if g1.dimension() == 1 and g2.dimension() == 2:
         lines = [c for l in g1.lines for c in _clip_line_to_polygon(l, g2, True)]
@@ -430,6 +481,10 @@ def s2_intersection(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
     if g2.dimension() == 1 and g1.dimension() == 2:
         lines = [c for l in g2.lines for c in _clip_line_to_polygon(l, g1, True)]
         return Geog(lines=lines, typ=2)
+    if g1.dimension() == 1 and g2.dimension() == 1:
+        # line x line: the crossing point set (collinear-overlap unsupported)
+        pts = _line_line_crossings(g1, g2)
+        return Geog(points=pts if len(pts) else None, typ=1)
     # polygon x polygon: containment fast paths, else boundary tracing
     if s2_contains(g1, g2):
         return Geog(polys=[[r.copy() for r in rings] for rings in g2.polys])

@@ -235,3 +235,22 @@ def test_aggregates(spark):
           for r in union_agg(df, "geog", ["grp"]).collect()}
     for grp, u in un.items():
         assert len(u.points) == 20  # all distinct points preserved
+
+
+def test_line_line_and_point_line_intersection():
+    # crossing geodesics -> the crossing point
+    r = B.s2_intersection(from_wkt("LINESTRING (0 -1, 0 1)"),
+                          from_wkt("LINESTRING (-1 0, 1 0)"))
+    assert len(r.points) == 1
+    assert abs(r.points[0][0]) < 1e-9 and abs(r.points[0][1]) < 1e-9
+    # disjoint -> empty; shared endpoint -> that point (closed model)
+    assert B.s2_intersection(from_wkt("LINESTRING (0 0, 1 1)"),
+                             from_wkt("LINESTRING (5 5, 6 6)")).is_empty()
+    t = B.s2_intersection(from_wkt("LINESTRING (0 0, 1 1)"),
+                          from_wkt("LINESTRING (1 1, 2 0)"))
+    assert len(t.points) == 1
+    # point exactly on a meridian geodesic; off by 0.01 deg -> empty
+    assert len(B.s2_intersection(from_wkt("POINT (0 0.5)"),
+                                 from_wkt("LINESTRING (0 0, 0 1)")).points) == 1
+    assert B.s2_intersection(from_wkt("POINT (0.01 0.5)"),
+                             from_wkt("LINESTRING (0 0, 0 1)")).is_empty()
