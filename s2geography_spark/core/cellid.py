@@ -127,7 +127,8 @@ def xyz_to_face_uv(x, y, z):
     comp = np.choose(face, [x, y, z])
     face = np.where(comp < 0, face + 3, face).astype(np.int64)
     conds = [face == 0, face == 1, face == 2, face == 3, face == 4, face == 5]
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # np.select evaluates every branch; non-selected faces may divide by ~0
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.select(conds, [y / x, -x / y, -x / z, z / x, z / y, -y / z])
         v = np.select(conds, [z / x, z / y, -y / z, y / x, -x / y, -x / z])
     return face, u, v
