@@ -106,9 +106,46 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+# process-wide token-hash cache: web corpora share vocabulary heavily, so
+# per-worker FNV work amortizes across documents and batches
+_TOKEN_HASH_CACHE: dict = {}
+
+_SHINGLE_P = np.uint64(1099511628211)  # FNV prime reused as the rolling base
+
+
+def _token_hashes(tokens) -> np.ndarray:
+    out = np.empty(len(tokens), dtype=np.uint64)
+    cache = _TOKEN_HASH_CACHE
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = _fnv1a(t)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(text: str, ngram: int) -> np.ndarray:
+    """Distinct 64-bit hashes of word n-gram shingles: per-token FNV (cached
+    process-wide) combined with a wrapping polynomial — no per-shingle
+    string materialization."""
+    toks = "".join(ch if (ch.isalnum() or ch.isspace()) else ""
+                   for ch in text.lower()).split()
+    n = len(toks) - ngram + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    th = _token_hashes(toks)
+    with np.errstate(over="ignore"):
+        acc = th[0:n].copy()
+        for k in range(1, ngram):
+            acc = acc * _SHINGLE_P + th[k:k + n]
+    return np.unique(acc)
+
+
 def minhash_signature_udf(num_perm: int = 64, seed: int = 42, ngram: int = 3):
     """pandas UDF: text -> array<long> MinHash signature (vectorized: one
-    (shingles x permutations) NumPy pass per document)."""
+    (shingles x permutations) NumPy pass per document; token hashes cached
+    per worker process)."""
     a_params, b_params = _minhash_params(num_perm, seed)
     a64 = a_params.astype(np.uint64)
     b64 = b_params.astype(np.uint64)
@@ -120,18 +157,14 @@ def minhash_signature_udf(num_perm: int = 64, seed: int = 42, ngram: int = 3):
             if t is None:
                 out.append(None)
                 continue
-            toks = "".join(ch if (ch.isalnum() or ch.isspace()) else "" for ch in t.lower()).split()
-            shingle_set = {" ".join(toks[i:i + ngram])
-                           for i in range(max(len(toks) - ngram + 1, 0))}
-            if not shingle_set:
+            hv = _shingle_hashes(t, ngram)
+            if not len(hv):
                 out.append([0] * num_perm)
                 continue
-            # FNV-1a 64-bit per shingle, vectorized permutations
-            hv = np.array([_fnv1a(s) for s in shingle_set], dtype=np.uint64)
             with np.errstate(over="ignore"):
                 prod = hv[:, None] * a64[None, :] + b64[None, :]
             sig = prod.min(axis=0).view(np.int64)
-            out.append([int(x) for x in sig])
+            out.append(sig.tolist())
         return pd.Series(out, dtype=object)
 
     return udf
@@ -183,6 +216,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 def simhash_udf(seed: int = 42):
     """pandas UDF: text -> 64-bit SimHash of token FNV hashes (unweighted)."""
 
+    shifts = np.arange(64, dtype=np.uint64)
+
     @pandas_udf(T.LongType())
     def udf(text: pd.Series) -> pd.Series:
         out = []
@@ -194,14 +229,11 @@ def simhash_udf(seed: int = 42):
             if not toks:
                 out.append(0)
                 continue
-            hv = np.array([_fnv1a(tok) for tok in toks], dtype=np.uint64)
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            counts = bits.sum(axis=0)
-            sig = 0
-            for i in range(64):
-                if counts[i] * 2 >= len(toks):
-                    sig |= 1 << i
+            hv = _token_hashes(toks)
+            bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1))
+            counts = bits.sum(axis=0, dtype=np.int64)
+            maj = counts * 2 >= len(toks)
+            sig = int((np.uint64(1) << shifts)[maj].sum(dtype=np.uint64))
             out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
         return pd.Series(out, dtype=object)
 
