@@ -449,6 +449,92 @@ def distance_to_geog_udf(geog: pd.Series, lng: pd.Series, lat: pd.Series) -> pd.
     return res
 
 
+def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
+                      point_id: str, lng: str = "lng", lat: str = "lat",
+                      region_geog: str = "geog", region_id: str = "region_id",
+                      init_radius_m: float = 250_000.0,
+                      max_rounds: int = 6,
+                      distance_col: str = "distance_m") -> DataFrame:
+    """Scale-path kNN: buffered-covering candidate pruning with radius
+    doubling (the distributed analog of S2ClosestEdgeQuery's chord-angle
+    pruning, SURVEY.md §2.6).
+
+    Round r: each region emits its buffered covering at radius r
+    (s2_covering_buffered — a superset of 'everything within r'); a point
+    joins on its cell key, so every region within r of the point IS a
+    candidate.  Points with >= k candidates at distance <= r are resolved
+    exactly (their true top-k are all within r); the rest retry at 2r.
+    Unresolved points after max_rounds fall back to the broadcast
+    brute-force join (correct for any k).
+
+    Preferred over knn_join when |points| x |regions| is too large to
+    evaluate densely; per round the work is candidates-only.
+    """
+    from pyspark.sql import Window as W
+    from ..core import ops as _ops
+    from ..core.geog import from_wkb as _from_wkb
+
+    spark = points.sparkSession
+    reg_rows = regions.select(region_id, region_geog).collect()
+    geogs = {r[region_id]: bytes(r[region_geog]) for r in reg_rows}
+
+    remaining = points.select(point_id, lng, lat) \
+        .withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
+    resolved_parts = []
+    radius = float(init_radius_m)
+    for _round in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        # dim side: buffered covering at this radius, normalized to one level
+        cov_rows = []
+        lev = None
+        for rid, wkb in geogs.items():
+            cells = _ops.s2_covering_buffered(_from_wkb(wkb), radius)
+            cl = C.level(np.array(cells, dtype=np.int64).view(np.uint64))
+            lev = int(cl.min()) if lev is None else min(lev, int(cl.min()))
+            cov_rows.append((rid, cells))
+        # re-parent every covering cell (and the point key) to the common
+        # coarsest level so a single equi-join key suffices
+        exploded = []
+        for rid, cells in cov_rows:
+            arr = np.array(cells, dtype=np.int64).view(np.uint64)
+            parents = np.unique(C.parent(arr, lev)).view(np.int64)
+            exploded.extend((rid, int(p)) for p in parents)
+        dim = spark.createDataFrame(exploded, f"{region_id} long, _cell long") \
+            .withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell")
+        cand = (remaining
+                .withColumn("_ck", cell_join_key(cell_parent(F.col("_leaf"), lev)))
+                .join(F.broadcast(dim), "_ck").drop("_ck"))
+        cand = cand.join(F.broadcast(regions.select(region_id, region_geog)),
+                         region_id)
+        cand = cand.withColumn(distance_col, distance_to_geog_udf(
+            F.col(region_geog), F.col(lng), F.col(lat))).drop(region_geog)
+        w = W.partitionBy(point_id).orderBy(F.col(distance_col).asc(),
+                                            F.col(region_id).asc())
+        ranked = cand.withColumn("knn_rank", F.row_number().over(w))
+        # resolved: the k-th nearest candidate is within the proven radius
+        kth = (ranked.where((F.col("knn_rank") == k)
+                            & (F.col(distance_col) <= radius))
+               .select(point_id).distinct())
+        resolved_parts.append(
+            ranked.join(F.broadcast(kth), point_id, "left_semi")
+            .where(F.col("knn_rank") <= k))
+        remaining = remaining.join(F.broadcast(kth), point_id, "left_anti")
+        radius *= 2.0
+    cols = [point_id, lng, lat, region_id, distance_col, "knn_rank"]
+    parts = [p.select(*cols) for p in resolved_parts]
+    if not remaining.isEmpty():
+        fallback = knn_join(remaining.drop("_leaf"),
+                            regions.select(region_id, region_geog), k,
+                            point_id=point_id, lng=lng, lat=lat,
+                            region_geog=region_geog, distance_col=distance_col)
+        parts.append(fallback.select(*cols))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def knn_join(points: DataFrame, regions: DataFrame, k: int, *,
              point_id: str, lng: str = "lng", lat: str = "lat",
              region_geog: str = "geog",

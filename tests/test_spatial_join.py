@@ -153,3 +153,19 @@ def test_choose_salt(spark):
             F.pmod(F.col("id") * 23, F.lit(640)) / 4.0 - 80.0).alias("lat"))
     s = choose_salt(hot, sample_fraction=1.0)
     assert s > 4
+
+
+def test_knn_covering_matches_brute_force(spark, mentions):
+    from s2geography_spark.operators.spatial_join import knn_join_covering
+    regions = regions_df(spark, 16)
+    sample = (mentions.limit(120)
+              .withColumn("pid", F.concat_ws("#", "url", "mention_idx"))
+              .select("pid", "lng", "lat").cache())
+    fast = knn_join_covering(sample, regions.select("region_id", "geog"),
+                             k=3, point_id="pid", init_radius_m=300_000.0)
+    slow = knn_join(sample, regions.select("region_id", "geog"),
+                    k=3, point_id="pid")
+    got = {(r.pid, r.knn_rank): r.region_id for r in fast.collect()}
+    exp = {(r.pid, r.knn_rank): r.region_id
+           for r in slow.select("pid", "knn_rank", "region_id").collect()}
+    assert got == exp
