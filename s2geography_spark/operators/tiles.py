@@ -9,8 +9,12 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.cells import cell_parent
 from .spatial_join import leaf_cell_udf
@@ -69,16 +73,66 @@ def pseudo_mercator_xy_columns(lng_col, lat_col):
     return x, y
 
 
-def assign_tiles(df: DataFrame, *, lng: str = "lng", lat: str = "lat",
-                 s2_levels=(4, 8, 12), mercator_zooms=(4, 8, 12)) -> DataFrame:
-    """Add per-zoom tile key columns: s2_cell_l{L} and tile_z{z}_x/_y.
+def hex_tile_udf(res: int):
+    """H3-style fallback tile family: axial hexagonal lattice over the
+    Web-Mercator plane, multi-resolution by halving the hex size per res.
 
-    One vectorized leaf-cell UDF call; every derived key is Column bit math
-    (map-only, no shuffle)."""
+    Not the H3 icosahedral grid (that is a separate published system); this
+    supplies the same *key-family* property the north star asks for — a
+    second, hexagonal, multi-resolution spatial key independent of the S2
+    quad hierarchy (hexagons have uniform neighbor distances, useful as a
+    fallback join/partition key when quad-cell aliasing is adversarial).
+
+    Returns a vectorized pandas UDF: (lng, lat) -> int64 tile id packing
+    (res, q, r) axial coordinates."""
+    size = 20_037_508.0 / (4 << res)  # hex circumradius in mercator meters
+
+    @pandas_udf(T.LongType())
+    def udf(lng: pd.Series, lat: pd.Series) -> pd.Series:
+        R = 6378137.0
+        lngv = lng.to_numpy(dtype=np.float64)
+        latv = np.clip(lat.to_numpy(dtype=np.float64),
+                       -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
+        x = np.radians(lngv) * R
+        y = R * np.log(np.tan(np.pi / 4 + np.radians(latv) / 2))
+        # pointy-top axial coordinates
+        qf = (np.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+        rf = (2.0 / 3.0 * y) / size
+        # cube rounding
+        xf, zf = qf, rf
+        yf = -xf - zf
+        rx, ry, rz = np.rint(xf), np.rint(yf), np.rint(zf)
+        dx, dy, dz = np.abs(rx - xf), np.abs(ry - yf), np.abs(rz - zf)
+        fix_x = (dx > dy) & (dx > dz)
+        fix_z = ~fix_x & (dz > dy)
+        rx = np.where(fix_x, -ry - rz, rx)
+        rz = np.where(fix_z, -rx - ry, rz)
+        q = rx.astype(np.int64)
+        r = rz.astype(np.int64)
+        tile = (np.int64(res) << np.int64(52)) | ((q & 0x3FFFFFF) << np.int64(26)) \
+            | (r & 0x3FFFFFF)
+        out = pd.Series(tile, dtype=object)
+        bad = (lng.isna() | lat.isna()).to_numpy()
+        out[bad] = None
+        return out
+
+    return udf
+
+
+def assign_tiles(df: DataFrame, *, lng: str = "lng", lat: str = "lat",
+                 s2_levels=(4, 8, 12), mercator_zooms=(4, 8, 12),
+                 hex_resolutions=()) -> DataFrame:
+    """Add per-zoom tile key columns: s2_cell_l{L}, tile_z{z}_x/_y and
+    (optionally) hex_r{res} H3-style fallback keys.
+
+    One vectorized leaf-cell UDF call; every quad-derived key is Column bit
+    math (map-only, no shuffle)."""
     out = df.withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
     for lev in s2_levels:
         out = out.withColumn(f"s2_cell_l{lev}", cell_parent(F.col("_leaf"), lev))
     for z in mercator_zooms:
         x, y = xyz_tile_columns(lng, lat, z)
         out = out.withColumn(f"tile_z{z}_x", x).withColumn(f"tile_z{z}_y", y)
+    for res in hex_resolutions:
+        out = out.withColumn(f"hex_r{res}", hex_tile_udf(res)(F.col(lng), F.col(lat)))
     return out.drop("_leaf")

@@ -190,3 +190,23 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_plan(media, every_ms=1000)
     vids = media.where(F.col("meta.media_type") == "video").count()
     assert frames.select("id").distinct().count() == vids
+
+
+def test_hex_tiles(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 45.0), (1, 10.0001, 45.0001),   # ~10 m apart
+         (2, 10.0, 45.0), (3, 30.0, -20.0)],
+        "pid long, lng double, lat double")
+    out = tiles.assign_tiles(df, s2_levels=(), mercator_zooms=(),
+                             hex_resolutions=(6,))
+    rows = {r.pid: r.hex_r6 for r in out.collect()}
+    assert rows[0] == rows[2]                 # identical points same hex
+    assert rows[0] == rows[1]                 # 10 m apart, ~10 km hexes
+    assert rows[0] != rows[3]                 # far away differs
+    # determinism + resolution separation
+    out2 = {r.pid: r.hex_r6 for r in tiles.assign_tiles(
+        df, s2_levels=(), mercator_zooms=(), hex_resolutions=(6,)).collect()}
+    assert out2 == rows
+    fine = tiles.assign_tiles(df, s2_levels=(), mercator_zooms=(),
+                              hex_resolutions=(12,)).collect()
+    assert all(r.hex_r12 is not None for r in fine)
