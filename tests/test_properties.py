@@ -64,13 +64,14 @@ def test_predicate_consistency(lng0, lat0, w, h, plng, plat):
     # contains => intersects; disjoint == !intersects
     assert (not cont) or inter
     assert disj == (not inter)
-    # dwithin(0-ish) consistent with intersects
+    # distance consistent with intersects at the engine's touch tolerance
+    # (EPS_RAD ~ 6 um); points within a gray zone around it are skipped
     d = ops.s2_distance(poly, pt)
-    assert (d <= 1e-3) == inter or d > 1e-3  # tautology guard; real check:
-    if inter:
-        assert d <= 1e-3
-    else:
-        assert d > 0
+    eps_m = ops.EPS_RAD * ops.EARTH_RADIUS_METERS
+    if d > 2 * eps_m:
+        assert not inter
+    elif d <= 0.5 * eps_m:
+        assert inter
 
 
 @settings(max_examples=60, deadline=None)
