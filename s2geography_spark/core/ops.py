@@ -334,10 +334,13 @@ def s2_touches(g1, g2) -> Optional[bool]:
         return None
     if not s2_intersects(g1, g2):
         return False
-    # interiors intersect? any crossing, or vertex strictly inside
-    ea, eb = g2.all_edges_xyz()
-    ra, rb = g1.ring_edges_xyz()
-    if _edges_cross_any(ea, eb, ra, rb):
+    # interiors intersect? a proper crossing of ANY edge of one side with
+    # ANY edge of the other (lines included — a line's interior is its edge
+    # interior, so testing only ring edges missed line-through-polygon),
+    # or a vertex strictly inside the other's rings
+    ea1, eb1 = g1.all_edges_xyz()
+    ea2, eb2 = g2.all_edges_xyz()
+    if _edges_cross_any(ea2, eb2, ea1, eb1):
         return False
     for (ga, gb) in ((g1, g2), (g2, g1)):
         ra2, rb2 = ga.ring_edges_xyz()

