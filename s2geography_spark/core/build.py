@@ -273,10 +273,44 @@ def _point_circle_ring(c_xyz: np.ndarray, r: float, n: int) -> np.ndarray:
     return ring
 
 
+def _cap_arc(center: np.ndarray, dir_from: np.ndarray, dir_to: np.ndarray,
+             r: float, quad_segs: int) -> np.ndarray:
+    """Open arc of the radius-r circle around `center` from tangent
+    direction dir_from to dir_to, traversed the short CCW way, sampled at a
+    GLOBALLY PHASE-CANONICAL angular grid (angles measured in the center's
+    fixed east/north frame, grid step pi/(2*quad_segs)).
+
+    The canonical phase is the engine's snap-function analog for buffers:
+    caps of adjacent edge-capsules around the same vertex sample the same
+    circle at identical points, so their shared runs are exact shared edges
+    for the overlay (no ill-conditioned near-tangent chord crossings).
+    Excludes both endpoint directions (callers append exact endpoints)."""
+    e1 = np.cross(center, [0.0, 0.0, 1.0])
+    if np.linalg.norm(e1) < 1e-12:
+        e1 = np.cross(center, [1.0, 0.0, 0.0])
+    e1 = e1 / np.linalg.norm(e1)
+    e2 = np.cross(center, e1)
+
+    def ang(d):
+        return float(np.arctan2(np.dot(d, e2), np.dot(d, e1)))
+
+    a0, a1 = ang(dir_from), ang(dir_to)
+    while a1 <= a0 + 1e-15:  # CCW sweep
+        a1 += 2 * np.pi
+    step = np.pi / (2 * quad_segs)
+    k0 = int(np.floor(a0 / step)) + 1
+    k1 = int(np.ceil(a1 / step)) - 1
+    th = np.arange(k0, k1 + 1) * step
+    th = th[(th > a0 + 1e-9) & (th < a1 - 1e-9)]
+    dirs = np.cos(th)[:, None] * e1[None, :] + np.sin(th)[:, None] * e2[None, :]
+    return np.cos(r) * center[None, :] + np.sin(r) * dirs
+
+
 def _edge_capsule_ring(a_xyz: np.ndarray, b_xyz: np.ndarray, r: float,
                        quad_segs: int) -> np.ndarray:
     """Closed CCW ring buffering one geodesic edge by r: two exact offset
-    small-circle curves (pole = the edge's great-circle normal) + round caps."""
+    small-circle curves (pole = the edge's great-circle normal) + round caps
+    sampled on the phase-canonical grid (see _cap_arc)."""
     n = np.cross(a_xyz, b_xyz)
     nn = np.linalg.norm(n)
     if nn == 0:
@@ -288,15 +322,12 @@ def _edge_capsule_ring(a_xyz: np.ndarray, b_xyz: np.ndarray, r: float,
     path = np.array([sphere.arc_interpolate(a_xyz, b_xyz, t) for t in ts])
     left = np.cos(r) * path + np.sin(r) * n[None, :]     # offset small circle
     right = np.cos(r) * path - np.sin(r) * n[None, :]
-    # round caps: rotate from +n to -n through the outward tangent
-    def cap(center, outward):
-        t_hat = outward / np.linalg.norm(outward)
-        th = np.linspace(0, np.pi, 2 * quad_segs + 1)[1:-1]
-        dirs = np.cos(th)[:, None] * n[None, :] + np.sin(th)[:, None] * t_hat[None, :]
-        return np.cos(r) * center[None, :] + np.sin(r) * dirs
-
-    cap_b = cap(b_xyz, np.cross(n, b_xyz))          # +n -> -n via forward
-    cap_a = cap(a_xyz, -np.cross(n, a_xyz))[::-1]   # -n -> +n via backward
+    # round caps; exact endpoints come from the offset curves themselves.
+    # Desired traversal bulges through the outward tangent: at b that is
+    # +n -> forward -> -n, which is the REVERSE of the CCW sweep -n -> +n
+    # (rotating n toward forward around b is clockwise: cross(n, fwd).b=-1)
+    cap_b = _cap_arc(b_xyz, -n, n, r, quad_segs)[::-1]
+    cap_a = _cap_arc(a_xyz, n, -n, r, quad_segs)[::-1]
     ring_xyz = np.vstack([left, cap_b, right[::-1], cap_a])
     ring = sphere.xyz_to_lnglat(ring_xyz)
     ring = np.vstack([ring, ring[:1]])
@@ -343,167 +374,56 @@ def s2_buffer(g: Optional[Geog], distance_m: float,
 
 
 # ---------------------------------------------------------------------------
-# overlay subset
+# overlay (general boundary algebra, core/overlay.py)
 # ---------------------------------------------------------------------------
 
-def _clip_line_to_polygon(line_lnglat: np.ndarray, poly: Geog, keep_inside: bool):
-    """Split a polyline at polygon-boundary crossings; keep inside (or
-    outside) pieces.  Returns list of (m, 2) lon/lat chains."""
-    v = sphere.lnglat_to_xyz(line_lnglat)
-    ra, rb = poly.ring_edges_xyz()
-    out = []
-    cur: List[np.ndarray] = []
+# re-exported for callers that want the closed-model primitives directly
+from .overlay import (_clip_line_to_polygon, _points_in_polygon_mask,  # noqa: E402
+                      _points_intersect_mask, overlay)
 
-    def flush():
-        nonlocal cur
-        if len(cur) >= 2:
-            out.append(sphere.xyz_to_lnglat(np.array(cur)))
-        cur = []
-
-    for i in range(len(v) - 1):
-        a, b = v[i], v[i + 1]
-        # find crossings with all ring edges
-        crossings = []
-        cross_mask = sphere.arcs_cross(a, b, ra, rb)
-        for j in np.where(cross_mask)[0]:
-            n1 = np.cross(a, b)
-            n2 = np.cross(ra[j], rb[j])
-            p = np.cross(n1, n2)
-            nn = np.linalg.norm(p)
-            if nn == 0:
-                continue
-            p = p / nn
-            if sphere.angle(a, p) + sphere.angle(p, b) > sphere.angle(a, b) + 1e-12:
-                p = -p
-            crossings.append((float(sphere.angle(a, p)), p))
-        crossings.sort(key=lambda t: t[0])
-        pieces = [a] + [p for _, p in crossings] + [b]
-        for k in range(len(pieces) - 1):
-            mid = sphere.normalize((pieces[k] + pieces[k + 1]) / 2.0)
-            inside = bool(sphere.contains_points(
-                mid.reshape(1, 3), ra, rb, model="closed")[0])
-            want = inside if keep_inside else not inside
-            if want:
-                if not cur:
-                    cur = [pieces[k]]
-                elif np.linalg.norm(cur[-1] - pieces[k]) > 1e-15:
-                    flush()
-                    cur = [pieces[k]]
-                cur.append(pieces[k + 1])
-            else:
-                flush()
-    flush()
-    return out
+_TYP_BY_DIM = {0: 1, 1: 2, 2: 3}
+_DIM_BY_TYP = {1: 0, 4: 0, 2: 1, 5: 1, 3: 2, 6: 2}
 
 
-def _points_in_polygon_mask(pts_lnglat: np.ndarray, poly: Geog):
-    ra, rb = poly.ring_edges_xyz()
-    if len(ra) == 0 or len(pts_lnglat) == 0:
-        return np.zeros(len(pts_lnglat), dtype=bool)
-    return sphere.contains_points(sphere.lnglat_to_xyz(pts_lnglat), ra, rb,
-                                  model="closed")
+def _type_dim(g: Geog) -> int:
+    """max_dimension per geoarrow-geography.cc:705-721: the content's max
+    dimension, falling back to the declared type for EMPTY values."""
+    d = g.dimension()
+    if d >= 0:
+        return d
+    return _DIM_BY_TYP.get(g.typ or 7, -1)
 
 
-def _points_intersect_mask(pts_lnglat: np.ndarray, other: Geog):
-    """Closed-model point-intersects-geography mask: inside polygons, on any
-    edge, or coincident with a point of `other`."""
-    n = len(pts_lnglat)
-    if n == 0:
-        return np.zeros(0, dtype=bool)
-    xyz = sphere.lnglat_to_xyz(np.asarray(pts_lnglat, dtype=np.float64))
-    out = _points_in_polygon_mask(pts_lnglat, other)
-    ea, eb = other.all_edges_xyz()
-    if len(ea):
-        d = sphere.point_arc_distance(xyz[:, None, :], ea[None, :, :],
-                                      eb[None, :, :]).min(axis=1)
-        out |= d <= EPS_RAD
-    if len(other.points):
-        gp = other.points_xyz()
-        d = sphere.angle(xyz[:, None, :], gp[None, :, :]).min(axis=1)
-        out |= d <= EPS_RAD
-    return out
-
-
-def _line_line_crossings(g1: Geog, g2: Geog) -> np.ndarray:
-    """Crossing points (lnglat) between the polylines of two geographies."""
-    e1a, e1b = g1.line_edges_xyz()
-    e2a, e2b = g2.line_edges_xyz()
-    if len(e1a) == 0 or len(e2a) == 0:
-        return np.zeros((0, 2))
-    mask = sphere.arcs_cross(e1a[:, None, :], e1b[:, None, :],
-                             e2a[None, :, :], e2b[None, :, :])
-    pts = []
-    for i, j in zip(*np.where(mask)):
-        n1 = np.cross(e1a[i], e1b[i])
-        n2 = np.cross(e2a[j], e2b[j])
-        p = np.cross(n1, n2)
-        nn = np.linalg.norm(p)
-        if nn == 0:
-            continue
-        p = p / nn
-        if sphere.angle(e1a[i], p) + sphere.angle(p, e1b[i]) > \
-                sphere.angle(e1a[i], e1b[i]) + 1e-12:
-            p = -p
-        pts.append(sphere.xyz_to_lnglat(p))
-    # shared endpoints also intersect (closed model)
-    v1 = np.vstack([e1a, e1b])
-    v2 = np.vstack([e2a, e2b])
-    d = sphere.angle(v1[:, None, :], v2[None, :, :])
-    for i in np.where((d <= EPS_RAD).any(axis=1))[0]:
-        pts.append(sphere.xyz_to_lnglat(v1[i]))
-    if not pts:
-        return np.zeros((0, 2))
-    return np.unique(np.round(np.array(pts), 12), axis=0)
+def _typed_empty(dim: int) -> Geog:
+    """EMPTY result typed by dimension (build.cc OutputEmptyGeometryType)."""
+    return Geog(typ=_TYP_BY_DIM.get(dim, 7))
 
 
 def s2_intersection(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
-    """Overlay intersection for the supported cases: any-empty / disjoint
-    fast paths (build.cc:1339-1359); (multi)point x any; line x polygon.
-    polygon x polygon only when disjoint or one contains the other."""
+    """Overlay intersection (build.cc:1329-1385 semantics): empty input ->
+    GEOMETRYCOLLECTION EMPTY; disjoint / empty result -> EMPTY typed by
+    min(max_dimension); else the general CLOSED-model overlay (shared edges
+    -> LINESTRING residue, corner contacts -> POINT residue)."""
     if g1 is None or g2 is None:
         return None
     if g1.is_empty() or g2.is_empty():
-        return Geog(typ=min(g1.typ or 7, g2.typ or 7))
+        return Geog(typ=7)
     d = s2_distance_radians(g1, g2)
+    empty_dim = min(_type_dim(g1), _type_dim(g2))
     if d is not None and d > EPS_RAD:
-        return Geog(typ=7)  # disjoint -> EMPTY
-    # point side handling (either side)
-    for a, b, in ((g1, g2), (g2, g1)):
-        if a.dimension() == 0:
-            if b.dimension() == 0:
-                common = {tuple(p) for p in a.points} & {tuple(p) for p in b.points}
-                return Geog(points=np.array(sorted(common)) if common else None, typ=1)
-            keep = _points_intersect_mask(a.points, b)
-            return Geog(points=a.points[keep], typ=1)
-    if g1.dimension() == 1 and g2.dimension() == 2:
-        lines = [c for l in g1.lines for c in _clip_line_to_polygon(l, g2, True)]
-        return Geog(lines=lines, typ=2)
-    if g2.dimension() == 1 and g1.dimension() == 2:
-        lines = [c for l in g2.lines for c in _clip_line_to_polygon(l, g1, True)]
-        return Geog(lines=lines, typ=2)
-    if g1.dimension() == 1 and g2.dimension() == 1:
-        # line x line: the crossing point set (collinear-overlap unsupported)
-        pts = _line_line_crossings(g1, g2)
-        return Geog(points=pts if len(pts) else None, typ=1)
-    # polygon x polygon: containment fast paths, else boundary tracing
-    if s2_contains(g1, g2):
-        return Geog(polys=[[r.copy() for r in rings] for rings in g2.polys])
-    if s2_contains(g2, g1):
-        return Geog(polys=[[r.copy() for r in rings] for rings in g1.polys])
-    if g1.dimension() == 2 and g2.dimension() == 2:
-        from .overlay import overlay_shells
-        res = overlay_shells(_all_rings(g1), _all_rings(g2), "intersection")
-        if res is not None:
-            return res
-    raise NotImplementedError(
-        "unsupported overlay combination (e.g. line x line) in round 1")
+        return _typed_empty(empty_dim)
+    res = overlay(g1, g2, "intersection")
+    return _typed_empty(empty_dim) if res.is_empty() else res
 
 
 def s2_union(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
-    """Union: empty regurgitation + disjoint concatenation (build.cc:
-    1271-1299); overlapping polygons only via containment fast paths."""
+    """Union (build.cc:1259-1327): empty regurgitation, disjoint
+    concatenation, else general overlay (adjacent polygons merge; lines and
+    points absorbed by covering higher-dimension output)."""
     if g1 is None or g2 is None:
         return None
+    if g1.is_empty() and g2.is_empty():
+        return _typed_empty(max(_type_dim(g1), _type_dim(g2)))
     if g1.is_empty():
         return g2
     if g2.is_empty():
@@ -511,68 +431,25 @@ def s2_union(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
     d = s2_distance_radians(g1, g2)
     if d is not None and d > EPS_RAD:
         return _concat(g1, g2)
-    if s2_contains(g1, g2):
-        return g1
-    if s2_contains(g2, g1):
-        return g2
-    if g1.dimension() == 0 and g2.dimension() == 0:
-        pts = np.unique(np.vstack([g1.points, g2.points]), axis=0)
-        return Geog(points=pts, typ=1)
-    if g1.dimension() == 2 and g2.dimension() == 2:
-        from .overlay import overlay_shells
-        res = overlay_shells(_all_rings(g1), _all_rings(g2), "union")
-        if res is not None:
-            return res
-    raise NotImplementedError(
-        "unsupported union combination in round 1")
+    res = overlay(g1, g2, "union")
+    return _typed_empty(max(_type_dim(g1), _type_dim(g2))) \
+        if res.is_empty() else res
 
 
 def s2_difference(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
-    """Difference: empty a -> EMPTY, empty b -> a, disjoint -> a
-    (build.cc:1395-1423); point/line minus polygon exact."""
+    """Difference (build.cc:1387-1446): empty a -> GEOMETRYCOLLECTION EMPTY,
+    empty b -> a, disjoint -> a; empty result typed by a's max dimension."""
     if g1 is None or g2 is None:
         return None
     if g1.is_empty():
-        return Geog(typ=g1.typ or 7)
+        return Geog(typ=7)
     if g2.is_empty():
         return g1
     d = s2_distance_radians(g1, g2)
     if d is not None and d > EPS_RAD:
         return g1
-    if g1.dimension() == 0:
-        keep = ~_points_in_polygon_mask(g1.points, g2)
-        if g2.dimension() == 0:
-            bset = {tuple(p) for p in g2.points}
-            keep = np.array([tuple(p) not in bset for p in g1.points], dtype=bool)
-        return Geog(points=g1.points[keep], typ=1)
-    if g1.dimension() == 1 and g2.dimension() == 2:
-        lines = [c for l in g1.lines for c in _clip_line_to_polygon(l, g2, False)]
-        return Geog(lines=lines, typ=2)
-    if g1.dimension() == 2 and g2.dimension() == 2:
-        if s2_contains(g2, g1):
-            return Geog(typ=3)  # fully erased
-        from .overlay import overlay_shells
-        if s2_contains(g1, g2):
-            # B strictly interior to A, no boundary crossings: punch each
-            # B shell into the A shell that contains it as a CW hole
-            polys = [[r.copy() for r in rings] for rings in g1.polys]
-            for rings2 in g2.polys:
-                if not rings2:
-                    continue
-                hole = rings2[0][::-1].copy()  # shell CCW -> hole CW
-                p0 = sphere.lnglat_to_xyz(rings2[0][:1])
-                for rings in polys:
-                    shell = Geog(polys=[[rings[0]]])
-                    ra, rb = shell.ring_edges_xyz()
-                    if sphere.contains_points(p0, ra, rb)[0]:
-                        rings.append(hole)
-                        break
-            return Geog(polys=polys)
-        res = overlay_shells(_all_rings(g1), _all_rings(g2), "difference")
-        if res is not None:
-            return res
-    raise NotImplementedError(
-        "unsupported difference combination in round 1")
+    res = overlay(g1, g2, "difference")
+    return _typed_empty(_type_dim(g1)) if res.is_empty() else res
 
 
 def s2_unary_union(g: Optional[Geog]) -> Optional[Geog]:
@@ -598,10 +475,13 @@ def _all_rings(g: Geog):
 
 
 def s2_sym_difference(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
-    """Symmetric difference via the two one-sided differences
-    (build.cc:1448-1516 empty/disjoint semantics)."""
+    """Symmetric difference via the two one-sided differences merged with a
+    general union (build.cc:1448-1516 empty/disjoint semantics; the union
+    pass normalizes the shared seam between the two crescents)."""
     if g1 is None or g2 is None:
         return None
+    if g1.is_empty() and g2.is_empty():
+        return _typed_empty(max(_type_dim(g1), _type_dim(g2)))
     if g1.is_empty():
         return g2
     if g2.is_empty():
@@ -611,7 +491,13 @@ def s2_sym_difference(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
         return _concat(g1, g2)
     a = s2_difference(g1, g2)
     b = s2_difference(g2, g1)
-    return _concat(a, b)
+    if a.is_empty() and b.is_empty():
+        return _typed_empty(max(_type_dim(g1), _type_dim(g2)))
+    if a.is_empty():
+        return b
+    if b.is_empty():
+        return a
+    return s2_union(a, b)
 
 
 def _concat(g1: Geog, g2: Geog) -> Geog:

@@ -34,8 +34,9 @@ def lnglat_to_xyz(lnglat):
 
 def xyz_to_lnglat(p):
     p = np.asarray(p, dtype=np.float64)
-    lng = np.arctan2(p[..., 1], p[..., 0]) / _DEG
-    lat = np.arctan2(p[..., 2], np.hypot(p[..., 0], p[..., 1])) / _DEG
+    # + 0.0 normalizes IEEE -0.0 to +0.0 (stable WKT/hash output)
+    lng = np.arctan2(p[..., 1], p[..., 0]) / _DEG + 0.0
+    lat = np.arctan2(p[..., 2], np.hypot(p[..., 0], p[..., 1])) / _DEG + 0.0
     return np.stack([lng, lat], axis=-1)
 
 

@@ -213,17 +213,14 @@ st_longestline = _geog_to_geog(ops.s2_longest_line)
 
 
 def _build_binary(fn):
-    """Binary overlay UDF: unsupported overlay cases (general polygon x
-    polygon in round 1) surface as null rather than failing the batch."""
+    """Binary overlay UDF.  Nulls mean null inputs ONLY (the reference's
+    null-propagation contract, sedona_udf_internal.h:1076-1084) — the
+    general overlay handles every input combination, and any internal
+    failure raises instead of masquerading as null output."""
     @pandas_udf(T.BinaryType())
     def udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        from ..core import build as B  # local import avoids cycle at module load
-        out = []
-        for x, y in zip(_decode_cache(a), _decode_cache(b)):
-            try:
-                out.append(to_wkb(fn(x, y)))
-            except NotImplementedError:
-                out.append(None)
+        out = [to_wkb(fn(x, y))
+               for x, y in zip(_decode_cache(a), _decode_cache(b))]
         return pd.Series(out, dtype=object)
     return udf
 
@@ -340,24 +337,15 @@ def st_reduceprecision(a: pd.Series, exp: pd.Series) -> pd.Series:
 def st_intersection_area(a: pd.Series, b: pd.Series) -> pd.Series:
     """Area (m^2) of the pairwise intersection — one decode+overlay per row
     with the shared decode cache."""
-    out = []
-    for x, y in zip(_decode_cache(a), _decode_cache(b)):
-        try:
-            out.append(ops.s2_area(_build.s2_intersection(x, y)))
-        except NotImplementedError:
-            out.append(None)
+    out = [ops.s2_area(_build.s2_intersection(x, y))
+           for x, y in zip(_decode_cache(a), _decode_cache(b))]
     return pd.Series(out, dtype=object)
 
 
 @pandas_udf(T.BinaryType())
 def st_unaryunion(a: pd.Series) -> pd.Series:
-    out = []
-    for g in _decode_cache(a):
-        try:
-            out.append(to_wkb(_build.s2_unary_union(g)))
-        except NotImplementedError:
-            out.append(None)
-    return pd.Series(out, dtype=object)
+    return pd.Series([to_wkb(_build.s2_unary_union(g))
+                      for g in _decode_cache(a)], dtype=object)
 
 
 @pandas_udf(T.BinaryType())
@@ -367,10 +355,7 @@ def st_buffer(a: pd.Series, dist: pd.Series) -> pd.Series:
         if d is None:
             out.append(None)
             continue
-        try:
-            out.append(to_wkb(_build.s2_buffer(g, d)))
-        except NotImplementedError:
-            out.append(None)
+        out.append(to_wkb(_build.s2_buffer(g, d)))
     return pd.Series(out, dtype=object)
 
 
