@@ -83,16 +83,20 @@ def q_geo_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=3 nearest region centers per customer point (exact distances +
-    window top-k; S2ClosestEdgeQuery semantics)."""
+    """k=3 nearest region centers per customer point via the SCALE path:
+    buffered-covering candidate pruning with radius doubling (the
+    distributed S2ClosestEdgeQuery analog), exact distances + window
+    top-k.  The dense broadcast knn_join remains available for small dims;
+    the oracle runs against this covering path to prove it end-to-end."""
     from s2geography_spark.functions.geo import _point_wkb_udf
-    from s2geography_spark.operators.spatial_join import knn_join
+    from s2geography_spark.operators.spatial_join import knn_join_covering
     pts = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 500)
     centers = _regions(spark).select(
         "region_id",
         _point_wkb_udf((F.col("lng0") + F.col("lng1")) / 2.0,
                        (F.col("lat0") + F.col("lat1")) / 2.0).alias("geog"))
-    res = knn_join(pts, centers, k=3, point_id="c_custkey")
+    res = knn_join_covering(pts, centers, k=3, point_id="c_custkey",
+                            init_radius_m=3_000_000.0)
     return res.select("c_custkey", "knn_rank", "region_id")
 
 
@@ -128,34 +132,37 @@ def q_geo_tiles_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_s2_tiles_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-zoom S2 parent-cell tile assignment (op/cell.cc:103-123 bit math).
-    No SQL oracle (cell ids are engine-specific) -> rows-only check."""
-    from s2geography_spark.operators.tiles import assign_tiles
+    """Per-zoom S2 parent-cell tile assignment (op/cell.cc:103-123 bit
+    math), ORACLED: the engine groups by the level-8 cell id (Hilbert bit
+    math on the leaf id), then inverse-Hilbert-decodes each distinct cell
+    into (face, i_blk, j_blk) — level-8 cells biject to face + 8-bit ij
+    blocks, which DuckDB recomputes from raw lng/lat with the direct
+    face/uv/st projection, independently of the Hilbert curve."""
+    from s2geography_spark.operators.tiles import assign_tiles, cell_face_block_udf
     pts = _customer_points(spark, sf_dir)
     tiled = assign_tiles(pts, s2_levels=(8,), mercator_zooms=())
-    return (tiled.groupBy("s2_cell_l8").agg(F.count("*").alias("n"))
-            .select("s2_cell_l8", "n"))
+    counts = tiled.groupBy("s2_cell_l8").agg(F.count("*").alias("n"))
+    blk = counts.select(cell_face_block_udf(8)(F.col("s2_cell_l8")).alias("b"),
+                        "n")
+    return blk.select(F.col("b.face").alias("face"),
+                      F.col("b.i_blk").alias("i_blk"),
+                      F.col("b.j_blk").alias("j_blk"), "n")
 
 
 def q_geo_bbox_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """st_boundingbox over the multipoint of each nation's customers
-    (coverings.cc:274-301 struct semantics; multipoint bbox == vertex
-    min/max so the SQL oracle is exact)."""
-    from s2geography_spark.functions.geo import multipoint_wkb, st_boundingbox
+    """Per-nation bounding box via the MERGEABLE bbox aggregate
+    (coverings.cc:274-301 struct semantics): pure-Column min/max partials
+    with map-side combine — no collect_list, so a hot nation never
+    materializes its whole point array in one aggregation buffer row.
 
-    # restrict to a half-globe band: the smallest covering lng interval is
-    # then never antimeridian-wrapped, so S2LatLngRect semantics == planar
-    # min/max and the SQL oracle is exact
+    Restricted to a half-globe band: the smallest covering lng interval is
+    then never antimeridian-wrapped, so S2LatLngRect semantics == planar
+    min/max and the SQL oracle is exact (the aggregate itself handles
+    wrapping; tests/test_pipeline_ops.py covers the antimeridian case)."""
+    from s2geography_spark.operators.aggregates import bbox_agg
     pts = _customer_points(spark, sf_dir).where(
         (F.col("lng") > -90.0) & (F.col("lng") < 90.0))
-    per_nation = pts.groupBy("c_nationkey").agg(
-        F.collect_list("lng").alias("lngs"), F.collect_list("lat").alias("lats"))
-    boxed = per_nation.select(
-        "c_nationkey",
-        st_boundingbox(multipoint_wkb("lngs", "lats")).alias("b"))
-    return boxed.select("c_nationkey",
-                        F.col("b.xmin").alias("xmin"), F.col("b.ymin").alias("ymin"),
-                        F.col("b.xmax").alias("xmax"), F.col("b.ymax").alias("ymax"))
+    return bbox_agg(pts, ["c_nationkey"], lng="lng", lat="lat")
 
 
 def q_geo_distance_km(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,18 +219,57 @@ def q_geo_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_dwithin_500km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers within 500 km of a region center (buffered-distance join:
-    exact vectorized point distances, the st_dwithin join predicate)."""
+    """Customers within 500 km of a region center via dwithin_join: the
+    buffered-covering equi-join (s2_covering_buffered, coverings.cc:80-87)
+    + exact threshold-pushdown refine (distance.cc:285-289).  NO cross
+    join anywhere in the plan — candidate volume is bounded by covering
+    overlap, so the operator survives a dim side of any size."""
     from s2geography_spark.functions.geo import _point_wkb_udf
-    from s2geography_spark.operators.spatial_join import distance_to_geog_udf
+    from s2geography_spark.operators.spatial_join import dwithin_join
     pts = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 400)
     centers = _regions(spark).select(
         "region_id",
         _point_wkb_udf((F.col("lng0") + F.col("lng1")) / 2.0,
                        (F.col("lat0") + F.col("lat1")) / 2.0).alias("geog"))
-    pair = pts.crossJoin(F.broadcast(centers))
-    d = distance_to_geog_udf(F.col("geog"), F.col("lng"), F.col("lat"))
-    return pair.where(d <= 500000.0).select("c_custkey", "region_id")
+    out = dwithin_join(pts, centers, 500000.0)
+    return out.select("c_custkey", "region_id")
+
+
+def q_geo_overlay_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-edge overlay on adjacent regions — the general spherical
+    overlay's degenerate-input path (round-2 robustness target): each
+    region is unioned/intersected with an east neighbor sharing its full
+    lng1 edge.  Checks: union merges into ONE polygon (not a collection),
+    union area equals the sum of parts (gap bucket 0), and the
+    CLOSED-model intersection is the shared meridian edge as a LINESTRING
+    of exactly computable geodesic length (dimension 1)."""
+    from s2geography_spark.core.geog import to_wkb
+    from s2geography_spark.functions.geo import (st_area, st_dimension,
+                                                 st_intersection,
+                                                 st_iscollection, st_length,
+                                                 st_union)
+    from s2geography_spark.sources.regions import densified_rect, region_corners
+    import numpy as np
+
+    rs = np.arange(N_REGIONS)
+    l0, t0, l1, t1 = region_corners(rs)
+    rows = [(int(r),
+             to_wkb(densified_rect(float(l0[i]), float(t0[i]),
+                                   float(l1[i]), float(t1[i]))),
+             to_wkb(densified_rect(float(l1[i]), float(t0[i]),
+                                   float(l1[i]) + 2.0 + int(r) % 3,
+                                   float(t1[i]))))
+            for i, r in enumerate(rs)]
+    df = spark.createDataFrame(rows, "region_id long, ga binary, gb binary")
+    u = st_union(F.col("ga"), F.col("gb"))
+    inter = st_intersection(F.col("ga"), F.col("gb"))
+    gap = st_area(u) - st_area(F.col("ga")) - st_area(F.col("gb"))
+    return df.select(
+        "region_id",
+        (~st_iscollection(u)).alias("merged"),
+        F.round(gap / 1e6).cast("long").alias("area_gap_bucket"),
+        F.floor(st_length(inter) / 1000.0).cast("long").alias("shared_km"),
+        st_dimension(inter).alias("inter_dim"))
 
 
 # ---------------------------------------------------------------------------
@@ -268,18 +314,57 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (approximate; rows-only check)."""
-    from s2geography_spark.operators.dedup import minhash_lsh_pairs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, threshold=0.3).select(
-        "a", "b", F.round("est_jaccard", 6).alias("est_jaccard_r"))
+    """MinHash+LSH near-dup pipeline with exact verify, ORACLED via planted
+    clones: the corpus gets exact copies of the first 20 docs (doc_id +
+    100000); candidates come from the banded-LSH bucket join at threshold
+    1.0 (identical shingle sets always share every band, so recall for
+    the target class is provably 1), then an exact shingle-set-digest
+    verify removes any est=1.0 collisions.  The DuckDB oracle computes
+    identical-shingle-set pairs directly — the two must match exactly."""
+    from s2geography_spark.operators.dedup import (minhash_lsh_pairs,
+                                                   shingle_set_digest_udf)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 20) \
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionAll(clones)
+    cand = minhash_lsh_pairs(corpus, threshold=1.0).select("a", "b")
+    digest = corpus.select(
+        "doc_id", shingle_set_digest_udf()(F.col("text")).alias("dg")) \
+        .where(F.col("dg").isNotNull())
+    da = digest.select(F.col("doc_id").alias("a"), F.col("dg").alias("dg_a"))
+    db = digest.select(F.col("doc_id").alias("b"), F.col("dg").alias("dg_b"))
+    return (cand.join(da, "a").join(db, "b")
+            .where(F.col("dg_a") == F.col("dg_b"))
+            .select("a", "b"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, Hamming <= 6 (rows-only check)."""
+    """SimHash pigeonhole pipeline with exact verify, ORACLED via planted
+    case-variant clones: upper-cased copies of the first 20 docs normalize
+    to identical token streams, so their simhashes are equal and every
+    16-bit band matches (recall 1 for the target class).  Candidates at
+    Hamming 0 are verified by normalized-text digest equality, which the
+    DuckDB oracle computes directly."""
     from s2geography_spark.operators.dedup import simhash_near_pairs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_pairs(docs, max_hamming=6)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 20) \
+        .select((F.col("doc_id") + 100000).alias("doc_id"),
+                F.upper(F.col("text")).alias("text"))
+    corpus = docs.unionAll(clones)
+    cand = simhash_near_pairs(corpus, max_hamming=0)
+    # normalized token stream, exactly as simhash_udf tokenizes
+    # (text.lower().split()): md5 over the space-joined tokens
+    norm = corpus.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.split(F.trim(F.lower("text")), r"\s+")))
+        .alias("nt"))
+    na = norm.select(F.col("doc_id").alias("a"), F.col("nt").alias("nt_a"))
+    nb = norm.select(F.col("doc_id").alias("b"), F.col("nt").alias("nt_b"))
+    return (cand.join(na, "a").join(nb, "b")
+            .where(F.col("nt_a") == F.col("nt_b"))
+            .select("a", "b", "hamming"))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,8 +390,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = (emb.where(F.col("vec_id") < 20)
               .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
     corpus = emb.unionAll(clones)
-    dim = len(emb.first().embedding)
-    pairs = embedding_near_duplicates(corpus, dim, threshold=0.999)
+    # embedding dimension is a dataset constant (TESTDATA.md: 64 floats at
+    # every sf) passed as a parameter — no driver-side action (.first())
+    # in the query path
+    pairs = embedding_near_duplicates(corpus, 64, threshold=0.999)
     return pairs.select("a", "b", F.round("cosine", 6).alias("cosine_r"))
 
 
@@ -372,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_s2_tiles_l8": q_geo_s2_tiles_l8,
         "geo_bbox_nation": q_geo_bbox_nation,
         "geo_overlap_area": q_geo_overlap_area,
+        "geo_overlay_adjacent": q_geo_overlay_adjacent,
         "geo_dwithin_500km": q_geo_dwithin_500km,
         "geo_distance_km": q_geo_distance_km,
         "text_stats": q_text_stats,
@@ -504,6 +592,97 @@ def oracle_sql() -> dict[str, str]:
               * 6371010.0 <= 500000.0
     """
 
+    sqls["geo_overlay_adjacent"] = f"""
+        SELECT region_id, true AS merged, CAST(0 AS BIGINT) AS area_gap_bucket,
+               CAST(floor((lat1 - lat0) * 111195.10117748393 / 1000.0)
+                    AS BIGINT) AS shared_km,
+               CAST(1 AS INT) AS inter_dim
+        FROM ({_REG_SQL})
+    """
+
+    # level-8 S2 tiles: the engine decodes its Hilbert cell ids back to
+    # (face, i_blk, j_blk); the oracle computes the same block from raw
+    # lng/lat with the direct face/uv/st projection (cellid.py parity)
+    sqls["geo_s2_tiles_l8"] = f"""
+        WITH pts AS ({_PTS_SQL}),
+        xyz AS (SELECT cos(radians(lat))*cos(radians(lng)) AS x,
+                       cos(radians(lat))*sin(radians(lng)) AS y,
+                       sin(radians(lat)) AS z
+                FROM pts),
+        f1 AS (SELECT x, y, z,
+                      CASE WHEN abs(x) > abs(y) THEN
+                             (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+                           ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END)
+                      END AS fp
+               FROM xyz),
+        f2 AS (SELECT x, y, z, fp,
+                      CASE fp WHEN 0 THEN x WHEN 1 THEN y ELSE z END AS comp
+               FROM f1),
+        f3 AS (SELECT x, y, z,
+                      CASE WHEN comp < 0 THEN fp + 3 ELSE fp END AS face
+               FROM f2),
+        uv AS (SELECT face,
+                      CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y
+                                WHEN 2 THEN -x/z WHEN 3 THEN z/x
+                                WHEN 4 THEN z/y ELSE -y/z END AS u,
+                      CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y
+                                WHEN 2 THEN -y/z WHEN 3 THEN y/x
+                                WHEN 4 THEN -x/y ELSE -x/z END AS v
+               FROM f3),
+        st AS (SELECT face,
+                      CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u)
+                           ELSE 1.0 - 0.5*sqrt(1-3*u) END AS s,
+                      CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v)
+                           ELSE 1.0 - 0.5*sqrt(1-3*v) END AS t
+               FROM uv),
+        ij AS (SELECT CAST(face AS BIGINT) AS face,
+                      CAST(least(greatest(floor(1073741824.0*s), 0),
+                                 1073741823) AS BIGINT) // 4194304 AS i_blk,
+                      CAST(least(greatest(floor(1073741824.0*t), 0),
+                                 1073741823) AS BIGINT) // 4194304 AS j_blk
+               FROM st)
+        SELECT face, i_blk, j_blk, count(*) AS n
+        FROM ij GROUP BY 1, 2, 3
+    """
+
+    sqls["minhash_lsh"] = r"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text
+          FROM documents WHERE doc_id < 20),
+        toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(regexp_replace(trim(text),
+                     '[^a-zA-Z0-9_\s]', '', 'g')), '\s+') AS t
+          FROM all_docs),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+               FROM toks, UNNEST(generate_series(0, len(t)-3)) AS u(i)
+               WHERE len(t) >= 3
+                 AND length(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) > 0),
+        dg AS (SELECT doc_id,
+                      md5(string_agg(shingle, '|' ORDER BY shingle)) AS d
+               FROM sh GROUP BY doc_id)
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM dg x JOIN dg y ON x.d = y.d AND x.doc_id < y.doc_id
+    """
+
+    sqls["simhash"] = r"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, upper(text) AS text
+          FROM documents WHERE doc_id < 20),
+        norm AS (
+          SELECT doc_id,
+                 array_to_string(regexp_split_to_array(trim(lower(text)),
+                                                       '\s+'), ' ') AS nt
+          FROM all_docs)
+        SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS INT) AS hamming
+        FROM norm x JOIN norm y ON x.nt = y.nt AND x.doc_id < y.doc_id
+    """
+
     sqls["text_stats"] = r"""
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0
@@ -627,6 +806,4 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, round(c, 6) AS cosine_r FROM p WHERE c >= 0.999
     """
 
-    # rows-only (approximate recall / engine-specific key space):
-    #   geo_s2_tiles_l8, minhash_lsh, simhash
     return sqls

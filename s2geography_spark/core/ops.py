@@ -766,32 +766,38 @@ def s2_covering(g: Optional[Geog], max_cells: int = 8,
     return sorted(np.array(sorted(result), dtype=np.uint64).view(np.int64).tolist())
 
 
+def buffered_covering_from_cells(cells, radius_m: float) -> List[int]:
+    """Expand a base covering into a buffered covering at `radius_m`
+    (coverings.cc:80-87 analog): re-parent each cell to a level whose min
+    cell width dominates the radius, then union with all cells within two
+    edge-neighbor steps (covers corner neighbors).  Pure vectorized cell
+    math — radius-independent work (the base covering itself) is the
+    caller's to amortize across radii."""
+    if len(cells) == 0:
+        return []
+    radius_rad = radius_m / EARTH_RADIUS_METERS
+    # level whose min cell width >= radius: kMinWidth ~ 2*sqrt(2)/3 * 2^-level
+    lev = int(np.clip(np.floor(np.log2((2 * np.sqrt(2) / 3)
+                                       / max(radius_rad, 1e-15))),
+                      0, MAX_COVER_LEVEL))
+    arr = np.asarray(cells, dtype=np.int64).view(np.uint64)
+    target = np.minimum(C.level(arr), lev)
+    p = np.unique(C.parent(arr, target))
+    n1 = C.edge_neighbors(p)
+    ring1 = np.unique(np.concatenate([p, n1.ravel()]))
+    n2 = C.edge_neighbors(ring1)
+    out = np.unique(np.concatenate([ring1, n2.ravel()]))
+    out = out[out != C.CELL_SENTINEL] if hasattr(C, "CELL_SENTINEL") else out
+    return sorted(out.view(np.int64).tolist())
+
+
 def s2_covering_buffered(g: Optional[Geog], radius_m: float,
                          max_cells: int = 8) -> Optional[List[int]]:
     """Covering of 'everything within radius' (coverings.cc:80-87 analog):
-    cover the geography, then take each cell at a level where the cell size
-    dominates the radius and union with its 8 neighbors."""
+    cover the geography, then expand (buffered_covering_from_cells)."""
     if g is None:
         return None
     if g.is_empty():
         return []
     base = s2_covering(g, max_cells=max_cells)
-    radius_rad = radius_m / EARTH_RADIUS_METERS
-    # level whose min cell width >= radius: kMinWidth ~ 2*sqrt(2)/3 * 2^-level
-    lev = int(np.clip(np.floor(np.log2((2 * np.sqrt(2) / 3) / max(radius_rad, 1e-15))), 0, MAX_COVER_LEVEL))
-    out = set()
-    arr = np.array(base, dtype=np.int64).view(np.uint64)
-    levels = C.level(arr)
-    for cid, l in zip(arr, levels):
-        target = min(int(l), lev)
-        p = C.parent(np.array([cid]), np.array([target]))[0]
-        out.add(int(np.uint64(p)))
-        nbrs = C.edge_neighbors(np.array([p]))[0]
-        for nb in nbrs:
-            out.add(int(np.uint64(nb)))
-            # corner neighbors via neighbors-of-neighbors intersection kept
-            # simple: edge neighbors of edge neighbors at same level
-        for nb in nbrs:
-            for nb2 in C.edge_neighbors(np.array([nb], dtype=np.uint64))[0]:
-                out.add(int(np.uint64(nb2)))
-    return sorted(np.array(sorted(out), dtype=np.uint64).view(np.int64).tolist())
+    return buffered_covering_from_cells(base, radius_m)

@@ -127,3 +127,31 @@ def union_agg(df: DataFrame, geog: str, group_cols: list[str]) -> DataFrame:
                              "geog_union": [merge_series(pdf["geog_union"])]})
 
     return partials.groupBy(*group_cols).applyInPandas(final, schema1)
+
+
+def bbox_agg(df: DataFrame, group_cols: list[str], lng: str = "lng",
+             lat: str = "lat") -> DataFrame:
+    """Mergeable per-group bounding box over point columns — pure-Column
+    min/max partials (map-side combine; no per-group array
+    materialization, unlike collect_list which at 100x would put millions
+    of doubles in one aggregation buffer row).
+
+    Antimeridian-aware lng interval (coverings.cc:89-211 bound semantics
+    for point sets spanning < 180 deg): both the direct [min, max] and the
+    0..360-wrapped interval are folded; the narrower wins.  A wrapping
+    result is returned with xmin > xmax (the S2LatLngRect lng_lo > lng_hi
+    convention the engine's bbox prefilter already consumes)."""
+    wrapped = F.pmod(F.col(lng) + 360.0, F.lit(360.0))
+    agg = df.groupBy(*group_cols).agg(
+        F.min(lng).alias("_dlo"), F.max(lng).alias("_dhi"),
+        F.min(wrapped).alias("_wlo"), F.max(wrapped).alias("_whi"),
+        F.min(lat).alias("ymin"), F.max(lat).alias("ymax"))
+    direct_span = F.col("_dhi") - F.col("_dlo")
+    wrap_span = F.col("_whi") - F.col("_wlo")
+    unwrap = lambda c: F.when(c > 180.0, c - 360.0).otherwise(c)  # noqa: E731
+    xmin = F.when(wrap_span < direct_span, unwrap(F.col("_wlo"))) \
+        .otherwise(F.col("_dlo"))
+    xmax = F.when(wrap_span < direct_span, unwrap(F.col("_whi"))) \
+        .otherwise(F.col("_dhi"))
+    return agg.select(*group_cols, xmin.alias("xmin"), F.col("ymin"),
+                      xmax.alias("xmax"), F.col("ymax"))

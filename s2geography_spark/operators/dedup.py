@@ -131,16 +131,44 @@ def _token_hashes(tokens) -> np.ndarray:
     return out
 
 
+def _flat_tokens(text: pd.Series, strip_punct: bool):
+    """Batch tokenization: (flat token-hash array uint64, per-row token
+    counts, null mask).  Normalization and split run as pandas C string
+    ops over the whole Arrow batch; FNV hashing runs once per DISTINCT
+    token (process-cached), then broadcasts via factorize codes — no
+    per-document Python loop."""
+    isnull = text.isna().to_numpy()
+    s = text.fillna("").astype(str).str.lower()
+    if strip_punct:
+        # keep alnum + whitespace only (the shingle normalization; also
+        # drops underscore, matching str.isalnum semantics)
+        s = s.str.replace(r"[^\w\s]|_", "", regex=True)
+    toks = s.str.split()
+    counts = np.array([len(t) for t in toks], dtype=np.int64)
+    flat = [w for lst in toks for w in lst]
+    if not flat:
+        return np.zeros(0, dtype=np.uint64), counts, isnull
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > _TOKEN_HASH_CACHE_MAX:
+        cache.clear()
+    uh = np.empty(len(uniques), dtype=np.uint64)
+    for k, u in enumerate(uniques):
+        h = cache.get(u)
+        if h is None:
+            h = _fnv1a(u)
+            cache[u] = h
+        uh[k] = h
+    return uh[codes], counts, isnull
+
+
 def _shingle_hashes(text: str, ngram: int) -> np.ndarray:
-    """Distinct 64-bit hashes of word n-gram shingles: per-token FNV (cached
-    process-wide) combined with a wrapping polynomial — no per-shingle
-    string materialization."""
-    toks = "".join(ch if (ch.isalnum() or ch.isspace()) else ""
-                   for ch in text.lower()).split()
-    n = len(toks) - ngram + 1
+    """Distinct 64-bit hashes of word n-gram shingles of one string (the
+    scalar path; the UDFs use the batched _flat_tokens pipeline)."""
+    th, counts, _ = _flat_tokens(pd.Series([text]), strip_punct=True)
+    n = len(th) - ngram + 1
     if n <= 0:
         return np.zeros(0, dtype=np.uint64)
-    th = _token_hashes(toks)
     with np.errstate(over="ignore"):
         acc = th[0:n].copy()
         for k in range(1, ngram):
@@ -149,29 +177,51 @@ def _shingle_hashes(text: str, ngram: int) -> np.ndarray:
 
 
 def minhash_signature_udf(num_perm: int = 64, seed: int = 42, ngram: int = 3):
-    """pandas UDF: text -> array<long> MinHash signature (vectorized: one
-    (shingles x permutations) NumPy pass per document; token hashes cached
-    per worker process)."""
+    """pandas UDF: text -> array<long> MinHash signature, vectorized across
+    the WHOLE Arrow batch: batch tokenization (_flat_tokens), rolling
+    polynomial shingle hashes over the flat token array with cross-document
+    windows masked out, then per-document per-permutation minima via
+    np.minimum.reduceat (no per-document Python, no per-document matmul)."""
     a_params, b_params = _minhash_params(num_perm, seed)
     a64 = a_params.astype(np.uint64)
     b64 = b_params.astype(np.uint64)
+    perm_chunk = 16  # bounds the (shingles x perms) intermediate
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def udf(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            if t is None:
-                out.append(None)
-                continue
-            hv = _shingle_hashes(t, ngram)
-            if not len(hv):
-                out.append([0] * num_perm)
-                continue
-            with np.errstate(over="ignore"):
-                prod = hv[:, None] * a64[None, :] + b64[None, :]
-            sig = prod.min(axis=0).view(np.int64)
-            out.append(sig.tolist())
-        return pd.Series(out, dtype=object)
+        n_docs = len(text)
+        th, counts, isnull = _flat_tokens(text, strip_punct=True)
+        k = ngram - 1
+        # rolling shingle hash over the flat token stream
+        with np.errstate(over="ignore"):
+            if len(th) > k:
+                acc = th[:len(th) - k].copy()
+                for s in range(1, ngram):
+                    acc = acc * _SHINGLE_P + th[s:len(th) - k + s]
+            else:
+                acc = np.zeros(0, dtype=np.uint64)
+        # windows fully inside one document
+        doc_of = np.repeat(np.arange(n_docs), counts)
+        valid = doc_of[:len(acc)] == doc_of[k:k + len(acc)] if len(acc) \
+            else np.zeros(0, dtype=bool)
+        hv = acc[valid]
+        n_sh = np.maximum(counts - k, 0)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(n_sh[:-1], out=starts[1:])
+        nonempty = n_sh > 0
+        sigs = np.zeros((n_docs, num_perm), dtype=np.uint64)
+        if hv.size and nonempty.any():
+            ne_starts = starts[nonempty]
+            for lo in range(0, num_perm, perm_chunk):
+                hi = min(lo + perm_chunk, num_perm)
+                with np.errstate(over="ignore"):
+                    prod = hv[:, None] * a64[None, lo:hi] + b64[None, lo:hi]
+                sigs[nonempty, lo:hi] = np.minimum.reduceat(prod, ne_starts,
+                                                            axis=0)
+        out = pd.Series(list(sigs.view(np.int64)), dtype=object) \
+            .map(lambda row: row.tolist())
+        out[isnull] = None
+        return out
 
     return udf
 
@@ -184,6 +234,92 @@ def _fnv1a(s: str) -> int:
     return h
 
 
+_SIG_BANDS_TYPE = T.StructType([
+    T.StructField("sig", T.ArrayType(T.LongType())),
+    T.StructField("bands", T.ArrayType(T.LongType())),
+])
+
+
+def minhash_sig_bands_udf(num_perm: int = 64, bands: int = 16,
+                          seed: int = 42, ngram: int = 3):
+    """text -> struct(sig array<long>, bands array<long>): the MinHash
+    signature AND its per-band bucket hashes in ONE vectorized pass.
+    Computing band hashes here (an FNV fold over each band's rows, pure
+    NumPy) avoids a 64-element_at/concat/xxhash expression tree JVM-side
+    and any re-evaluation of the signature UDF through projection
+    collapse."""
+    base = minhash_signature_udf(num_perm, seed, ngram)
+    rows = num_perm // bands
+    prime = np.uint64(0x100000001B3)
+    offset = np.uint64(0xCBF29CE484222325)
+
+    @pandas_udf(_SIG_BANDS_TYPE)
+    def udf(text: pd.Series) -> pd.DataFrame:
+        sigs = base.func(text)
+        out_sig, out_bands = [], []
+        valid = [s is not None for s in sigs]
+        mat = np.array([s for s in sigs if s is not None], dtype=np.int64)
+        if len(mat):
+            v = mat.view(np.uint64).reshape(len(mat), bands, rows)
+            acc = np.full((len(mat), bands), offset, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for r in range(rows):
+                    acc = (acc ^ v[:, :, r]) * prime
+            bh = acc.view(np.int64)
+        k = 0
+        for ok, s in zip(valid, sigs):
+            if not ok:
+                out_sig.append(None)
+                out_bands.append(None)
+            else:
+                out_sig.append(s)
+                out_bands.append(bh[k].tolist())
+                k += 1
+        return pd.DataFrame({"sig": out_sig, "bands": out_bands})
+
+    return udf
+
+
+def shingle_set_digest_udf(ngram: int = 3):
+    """text -> 16-byte digest of the document's DISTINCT shingle-hash set
+    (sorted-unique uint64 hashes -> md5).  Two documents get equal digests
+    iff their shingle sets are equal (modulo 64-bit hash collisions) —
+    the vectorized exact-verify key for LSH candidates, replacing a
+    shingle-explode + collect_set + sort shuffle.  Documents with no
+    shingles (under ngram tokens) return null."""
+    import hashlib
+
+    @pandas_udf(T.BinaryType())
+    def udf(text: pd.Series) -> pd.Series:
+        n_docs = len(text)
+        th, counts, isnull = _flat_tokens(text, strip_punct=True)
+        k = ngram - 1
+        with np.errstate(over="ignore"):
+            if len(th) > k:
+                acc = th[:len(th) - k].copy()
+                for s in range(1, ngram):
+                    acc = acc * _SHINGLE_P + th[s:len(th) - k + s]
+            else:
+                acc = np.zeros(0, dtype=np.uint64)
+        doc_of = np.repeat(np.arange(n_docs), counts)
+        valid = doc_of[:len(acc)] == doc_of[k:k + len(acc)] if len(acc) \
+            else np.zeros(0, dtype=bool)
+        hv = acc[valid]
+        n_sh = np.maximum(counts - k, 0)
+        bounds = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_sh, out=bounds[1:])
+        out = []
+        for i in range(n_docs):
+            if isnull[i] or n_sh[i] <= 0:
+                out.append(None)
+                continue
+            seg = np.unique(hv[bounds[i]:bounds[i + 1]])
+            out.append(hashlib.md5(seg.tobytes()).digest())
+        return pd.Series(out, dtype=object)
+
+    return udf
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text: str = "text", num_perm: int = 64,
                       bands: int = 16, threshold: float = 0.5,
@@ -192,16 +328,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     -> signature-estimated Jaccard filter.
 
     shuffle keys = (band, band_hash): uniformly distributed by construction."""
-    rows = num_perm // bands
-    sig_udf = minhash_signature_udf(num_perm, seed, ngram)
-    with_sig = df.select(F.col(id_col), sig_udf(F.col(text)).alias("sig"))
+    sb_udf = minhash_sig_bands_udf(num_perm, bands, seed, ngram)
+    with_sig = df.select(F.col(id_col),
+                         sb_udf(F.col(text)).alias("_sb")) \
+        .select(id_col, F.col("_sb.sig").alias("sig"),
+                F.col("_sb.bands").alias("bands"))
     banded = with_sig.select(
         id_col, "sig",
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[
-                F.element_at("sig", b * rows + r + 1).cast("string")
-                for r in range(rows)]))
-            for b in range(bands)])).alias("band", "band_hash"))
+        F.posexplode("bands").alias("band", "band_hash"))
     a = banded.select(F.col("band"), F.col("band_hash"),
                       F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     b = banded.select(F.col("band"), F.col("band_hash"),
@@ -220,28 +354,32 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def simhash_udf(seed: int = 42):
-    """pandas UDF: text -> 64-bit SimHash of token FNV hashes (unweighted)."""
+    """pandas UDF: text -> 64-bit SimHash of token FNV hashes (unweighted),
+    vectorized across the whole Arrow batch: batch tokenization, one
+    (tokens x 64) bit expansion, per-document bit sums via
+    np.add.reduceat, majority vote, pack — no per-document Python."""
 
     shifts = np.arange(64, dtype=np.uint64)
 
     @pandas_udf(T.LongType())
     def udf(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            if t is None:
-                out.append(None)
-                continue
-            toks = t.lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            hv = _token_hashes(toks)
-            bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1))
-            counts = bits.sum(axis=0, dtype=np.int64)
-            maj = counts * 2 >= len(toks)
-            sig = int((np.uint64(1) << shifts)[maj].sum(dtype=np.uint64))
-            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-        return pd.Series(out, dtype=object)
+        n_docs = len(text)
+        th, counts, isnull = _flat_tokens(text, strip_punct=False)
+        sums = np.zeros((n_docs, 64), dtype=np.int64)
+        nonempty = counts > 0
+        if th.size and nonempty.any():
+            bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)) \
+                .astype(np.int64)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            sums[nonempty] = np.add.reduceat(bits, starts[nonempty], axis=0)
+        maj = sums * 2 >= np.maximum(counts, 1)[:, None]
+        maj &= nonempty[:, None]  # empty text -> 0 (legacy behavior)
+        sig = (maj.astype(np.uint64) << shifts[None, :]).sum(axis=1,
+                                                             dtype=np.uint64)
+        out = pd.Series(sig.view(np.int64), dtype=object)
+        out[isnull] = None
+        return out
 
     return udf
 

@@ -136,3 +136,36 @@ def assign_tiles(df: DataFrame, *, lng: str = "lng", lat: str = "lat",
     for res in hex_resolutions:
         out = out.withColumn(f"hex_r{res}", hex_tile_udf(res)(F.col(lng), F.col(lat)))
     return out.drop("_leaf")
+
+
+_FACE_BLOCK_TYPE = T.StructType([T.StructField("face", T.LongType()),
+                                 T.StructField("i_blk", T.LongType()),
+                                 T.StructField("j_blk", T.LongType())])
+
+
+def cell_face_block_udf(level: int):
+    """cell id -> (face, i_blk, j_blk): inverse-Hilbert decode of a level-L
+    cell id into its face and leaf-grid block (i >> (30 - L), j >> (30 - L)).
+
+    Level-L cells biject to (face, block) pairs, so this is an independent
+    SQL-expressible formulation of the cell id: an oracle can compute the
+    same block from raw lng/lat with the direct face/uv/st projection and
+    never touch the Hilbert curve — a hash match proves the engine's
+    encode (from_lnglat) and decode (to_face_ij) agree with the direct
+    math (op/cell.cc parity check)."""
+    from ..core import cellid as C
+
+    shift = np.int64(30 - int(level))
+
+    @pandas_udf(_FACE_BLOCK_TYPE)
+    def udf(cid: pd.Series) -> pd.DataFrame:
+        if cid.dtype != np.int64:
+            raise ValueError(
+                "cell_face_block_udf expects a non-null bigint cell column "
+                f"(got dtype {cid.dtype}; nulls lose 64-bit id precision)")
+        ids = cid.to_numpy().view(np.uint64)
+        face, i, j, _ = C.to_face_ij(ids)
+        return pd.DataFrame({"face": face.astype(np.int64),
+                             "i_blk": i >> shift, "j_blk": j >> shift})
+
+    return udf

@@ -1,0 +1,96 @@
+"""Round-2 operator tests: mergeable bbox aggregate, dwithin_join on the
+buffered-covering path, and the exact-verify dedup pipelines."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geography_spark.operators.aggregates import bbox_agg
+from s2geography_spark.operators.spatial_join import dwithin_join
+
+
+def test_bbox_agg_plain(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 5.0), (1, 20.0, -3.0), (1, 15.0, 8.0),
+         (2, -170.0, 0.0), (2, -160.0, 10.0)],
+        "g int, lng double, lat double")
+    rows = {r.g: r for r in bbox_agg(df, ["g"]).collect()}
+    assert (rows[1].xmin, rows[1].ymin, rows[1].xmax, rows[1].ymax) == \
+        (10.0, -3.0, 20.0, 8.0)
+    assert (rows[2].xmin, rows[2].xmax) == (-170.0, -160.0)
+
+
+def test_bbox_agg_antimeridian(spark):
+    # points straddling the antimeridian: the wrapped interval is narrower,
+    # returned with xmin > xmax (S2LatLngRect lng_lo > lng_hi convention)
+    df = spark.createDataFrame(
+        [(1, 170.0, 0.0), (1, -170.0, 5.0), (1, 175.0, -5.0)],
+        "g int, lng double, lat double")
+    r = bbox_agg(df, ["g"]).collect()[0]
+    assert r.xmin == 170.0 and r.xmax == -170.0  # 20-degree wrapped interval
+    assert r.ymin == -5.0 and r.ymax == 5.0
+
+
+def test_bbox_agg_no_collect_list_in_plan(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "g int, lng double, lat double")
+    plan = bbox_agg(df, ["g"])._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_dwithin_join_matches_brute_force(spark):
+    from s2geography_spark.functions.geo import _point_wkb_udf
+    from s2geography_spark.core import sphere
+    rng = np.random.default_rng(7)
+    pts = spark.createDataFrame(
+        [(int(i), float(lng), float(lat)) for i, (lng, lat) in enumerate(
+            zip(rng.uniform(-30, 30, 200), rng.uniform(-20, 20, 200)))],
+        "pid long, lng double, lat double").cache()
+    centers_rows = [(int(i), float(lng), float(lat)) for i, (lng, lat) in
+                    enumerate(zip(rng.uniform(-30, 30, 12),
+                                  rng.uniform(-20, 20, 12)))]
+    centers = spark.createDataFrame(
+        centers_rows, "region_id long, clng double, clat double") \
+        .select("region_id", "clng", "clat",
+                _point_wkb_udf(F.col("clng"), F.col("clat")).alias("geog"))
+    radius = 700_000.0
+    got = {(r.pid, r.region_id) for r in
+           dwithin_join(pts, centers.select("region_id", "geog"),
+                        radius).select("pid", "region_id").collect()}
+    # brute force
+    p = {r.pid: (r.lng, r.lat) for r in pts.collect()}
+    exp = set()
+    for pid, (lng, lat) in p.items():
+        a = sphere.lnglat_to_xyz(np.array([lng, lat]))
+        for rid, clng, clat in centers_rows:
+            b = sphere.lnglat_to_xyz(np.array([clng, clat]))
+            d = float(sphere.angle(a, b)) * sphere.EARTH_RADIUS_METERS
+            if d <= radius:
+                exp.add((pid, rid))
+    assert got == exp and len(exp) > 0
+
+
+def test_dwithin_join_no_cartesian(spark):
+    from s2geography_spark.functions.geo import _point_wkb_udf
+    pts = spark.createDataFrame([(0, 1.0, 1.0)], "pid long, lng double, lat double")
+    centers = spark.createDataFrame([(0, 1.5, 1.5)],
+                                    "region_id long, clng double, clat double") \
+        .select("region_id", _point_wkb_udf("clng", "clat").alias("geog"))
+    out = dwithin_join(pts, centers, 500_000.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_identical_sets_always_collide(spark):
+    """Identical shingle sets -> identical signatures -> every band equal."""
+    from s2geography_spark.operators.dedup import minhash_lsh_pairs
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma delta epsilon zeta"),   # exact clone
+         (2, "alpha, beta;  gamma delta epsilon zeta"),  # normalizes equal
+         (3, "totally different words here entirely now")],
+        "doc_id long, text string")
+    pairs = {(r.a, r.b) for r in
+             minhash_lsh_pairs(docs, threshold=1.0).select("a", "b").collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
