@@ -336,41 +336,252 @@ def _edge_capsule_ring(a_xyz: np.ndarray, b_xyz: np.ndarray, r: float,
     return ring
 
 
-def s2_buffer(g: Optional[Geog], distance_m: float,
-              quad_segs: int = 8) -> Optional[Geog]:
-    """Spherical buffer for points, lines and polygons.
+class BufferParams:
+    """PostGIS-style buffer parameter string (BufferParams::Parse,
+    build.cc:1570-1608): ``endcap=round|flat|butt side=both|left|right
+    quad_segs=N`` (``quadrant_segments`` alias; ``join=round`` accepted,
+    ``mitre_limit`` parsed-and-ignored with round joins).  ``side=left`` or
+    ``right`` defaults the endcap to flat unless given explicitly."""
 
-    Points -> exact geodesic circles (4*quad_segs vertices).  Lines ->
-    union of per-edge capsules (exact small-circle offsets + round caps).
-    Polygons -> polygon ∪ buffered boundary (positive distance).
-    Degenerate distance -> POLYGON EMPTY (build.cc:1618-1623)."""
-    if g is None:
+    __slots__ = ("end_cap", "side", "quad_segs")
+
+    def __init__(self, end_cap="round", side="both", quad_segs=8):
+        self.end_cap = end_cap
+        self.side = side
+        self.quad_segs = quad_segs
+
+    @staticmethod
+    def parse(params: str) -> "BufferParams":
+        p = BufferParams()
+        endcap_explicit = False
+        for tok in (params or "").split():
+            if "=" not in tok:
+                raise ValueError(f"Invalid buffer parameter: {tok!r}")
+            key, _, val = tok.partition("=")
+            key = key.lower()
+            val = val.lower()
+            if key == "endcap":
+                if val == "round":
+                    p.end_cap = "round"
+                elif val in ("flat", "butt"):
+                    p.end_cap = "flat"
+                else:
+                    raise ValueError(f"Invalid endcap value: {val!r}")
+                endcap_explicit = True
+            elif key == "side":
+                if val not in ("both", "left", "right"):
+                    raise ValueError(f"Invalid side value: {val!r}")
+                p.side = val
+            elif key in ("quad_segs", "quadrant_segments"):
+                try:
+                    p.quad_segs = int(val)
+                except ValueError:
+                    raise ValueError(f"Invalid quad_segs value: {val!r}")
+                if p.quad_segs <= 0:
+                    raise ValueError("quadrant_segments must be >0 in ST_Buffer()")
+            elif key == "join":
+                if val != "round":
+                    raise ValueError(
+                        f"Invalid join value: {val!r} (only round joins)")
+            elif key == "mitre_limit" or key == "miter_limit":
+                try:
+                    if float(val) <= 0:
+                        raise ValueError
+                except ValueError:
+                    raise ValueError(f"Invalid mitre_limit value: {val!r}")
+            else:
+                raise ValueError(
+                    f"Invalid buffer parameter: {key!r} (accept: 'endcap', "
+                    "'quad_segs', 'quadrant_segments' and 'side')")
+        if p.side in ("left", "right") and not endcap_explicit:
+            p.end_cap = "flat"
+        return p
+
+
+def _tangent_arc(center_xyz, d_from, d_to, r, quad_segs, endpoints=False):
+    """Arc of the radius-r circle around center from tangent direction
+    d_from to d_to, sampled at exact steps of pi/(2*quad_segs) FROM d_from
+    (tangent-aligned — matches the reference's end-cap vertex placement,
+    build_test.cc side/endcap goldens).  Rotation takes the shorter way."""
+    d_from = d_from / np.linalg.norm(d_from)
+    d_to = d_to / np.linalg.norm(d_to)
+    axis = np.cross(d_from, d_to)
+    total = float(np.arctan2(np.linalg.norm(axis), float(np.dot(d_from, d_to))))
+    if np.linalg.norm(axis) < 1e-15:
+        axis = center_xyz  # degenerate (0 or pi): rotate around the center
+        if float(np.dot(d_from, d_to)) < 0:
+            total = np.pi
+    axis = axis / np.linalg.norm(axis)
+    perp = np.cross(axis, d_from)
+    step = np.pi / (2 * quad_segs)
+    n_steps = max(int(np.floor(total / step + 1e-9)), 0)
+    ths = [k * step for k in range(1, n_steps + 1) if k * step < total - 1e-9]
+    if endpoints:
+        ths = [0.0] + ths + [total]
+    dirs = [np.cos(t) * d_from + np.sin(t) * perp for t in ths]
+    if not dirs:
+        return np.zeros((0, 3))
+    dirs = np.array(dirs)
+    return np.cos(r) * center_xyz[None, :] + np.sin(r) * dirs
+
+
+def _offset_samples(v0, v1, r, sign_n, max_seg_rad=0.25):
+    """Points of the left (+1) / right (-1) offset small circle of edge
+    (v0, v1), including both endpoints; interior samples only for long
+    edges (the chord tracks the small circle within the snap tolerance for
+    short ones — the reference emits corner-only quads for ~1 deg edges)."""
+    n = np.cross(v0, v1)
+    n = n / np.linalg.norm(n)
+    theta = float(sphere.angle(v0, v1))
+    m = max(int(np.ceil(theta / max_seg_rad)), 1)
+    ts = np.linspace(0.0, 1.0, m + 1)
+    path = np.array([sphere.arc_interpolate(v0, v1, t) for t in ts])
+    return np.cos(r) * path + sign_n * np.sin(r) * n[None, :], n
+
+
+def _edge_flat_quad(v0, v1, r) -> np.ndarray:
+    """Closed CCW ring of the both-sides flat-capped edge buffer (the
+    endcap=flat golden: POLYGON ((a_left, a_right, b_right, b_left)))."""
+    left, _ = _offset_samples(v0, v1, r, +1.0)
+    right, _ = _offset_samples(v0, v1, r, -1.0)
+    ring_xyz = np.vstack([left[:1], right, left[::-1]])
+    return _close_ccw(ring_xyz)
+
+
+def _edge_side_piece(v0, v1, r, side: str, end_cap: str, quad_segs: int,
+                     cap_start: bool, cap_end: bool) -> np.ndarray:
+    """Closed CCW ring of a one-sided edge buffer: baseline + offset curve,
+    with (optionally) quarter-circle round caps extending r beyond the
+    endpoints (the side_left/side_right goldens), or flat ends."""
+    sign = 1.0 if side == "left" else -1.0
+    off, n = _offset_samples(v0, v1, r, sign)
+    nd = sign * n
+    fwd1 = np.cross(n, v1)
+    fwd1 = fwd1 / np.linalg.norm(fwd1)
+    back0 = -np.cross(n, v0)
+    back0 = back0 / np.linalg.norm(back0)
+    parts = [v0[None, :], v1[None, :]]
+    if end_cap == "round" and cap_end:
+        parts.append(_tangent_arc(v1, fwd1, nd, r, quad_segs, endpoints=True))
+    parts.append(off[::-1])
+    if end_cap == "round" and cap_start:
+        parts.append(_tangent_arc(v0, nd, back0, r, quad_segs,
+                                  endpoints=True)[1:])
+    return _close_ccw(np.vstack(parts))
+
+
+def _joint_wedge(v, d1, d2, r, quad_segs) -> Optional[np.ndarray]:
+    """Round-join wedge at an interior vertex: circle sector between
+    tangent directions d1 and d2 (shorter way)."""
+    arc = _tangent_arc(v, d1, d2, r, quad_segs, endpoints=True)
+    if len(arc) < 2:
         return None
-    if distance_m <= 0 or g.is_empty():
-        return Geog(typ=3)
-    r = distance_m / EARTH_RADIUS_METERS
-    n_circle = max(4 * quad_segs, 8)
-    pieces: List[Geog] = []
-    for lng, lat in g.points:
-        c = sphere.lnglat_to_xyz(np.array([lng, lat]))
-        pieces.append(Geog(polys=[[_point_circle_ring(c, r, n_circle)]]))
-    chains = [l for l in g.lines if len(l) >= 2]
-    for rings in g.polys:
-        for rr in rings:
-            if len(rr) >= 4:
-                chains.append(rr)
-    for chain in chains:
-        v = sphere.lnglat_to_xyz(chain)
-        for i in range(len(v) - 1):
-            pieces.append(Geog(polys=[[
-                _edge_capsule_ring(v[i], v[i + 1], r, quad_segs)]]))
-    if g.polys:
-        pieces.append(Geog(polys=[[rr.copy() for rr in rings]
-                                  for rings in g.polys]))
+    return _close_ccw(np.vstack([v[None, :], arc]))
+
+
+def _close_ccw(ring_xyz: np.ndarray) -> np.ndarray:
+    ring = sphere.xyz_to_lnglat(ring_xyz)
+    # drop consecutive duplicates (piece seams share endpoints)
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = np.abs(ring[1:] - ring[:-1]).max(axis=1) > 1e-13
+    if np.abs(ring[0] - ring[-1]).max() <= 1e-13 and keep[-1]:
+        keep[-1] = False
+    ring = ring[keep]
+    ring = np.vstack([ring, ring[:1]])
+    if sphere.ring_signed_area(sphere.lnglat_to_xyz(ring)) < 0:
+        ring = ring[::-1].copy()
+    return ring
+
+
+def _union_fold(pieces: List[Geog]) -> Geog:
     acc = pieces[0]
     for p in pieces[1:]:
         acc = s2_union(acc, p)
     return acc
+
+
+def s2_buffer(g: Optional[Geog], distance_m: float, quad_segs: int = 8,
+              params: Optional[str] = None) -> Optional[Geog]:
+    """Spherical buffer (S2BufferOperation analog, build.cc:1610-1718).
+
+    Points -> geodesic circles (4*quad_segs vertices).  Lines -> union of
+    per-edge pieces: round capsules, flat quads (endcap=flat), or one-sided
+    strips (side=left|right) with round joint wedges at interior vertices
+    and tangent-aligned quarter-circle end caps.  Polygons -> dilation
+    (polygon ∪ buffered boundary) for positive distance, EROSION
+    (polygon − buffered boundary) for negative.  Degenerate output ->
+    POLYGON EMPTY (build.cc:1618-1623)."""
+    if g is None:
+        return None
+    bp = BufferParams.parse(params) if params is not None else BufferParams()
+    if quad_segs != 8 and params is None:
+        bp.quad_segs = quad_segs
+    if g.is_empty() or (g.dimension() < 2 and distance_m <= 0):
+        return Geog(typ=3)
+    if distance_m < 0:
+        # polygon erosion: subtract the buffered boundary from the polygon
+        rings = [Geog(lines=[rr.copy() for rings in g.polys
+                             for rr in rings if len(rr) >= 4])]
+        if not rings[0].lines:
+            return Geog(typ=3)
+        shell = s2_buffer(rings[0], -distance_m, quad_segs=bp.quad_segs)
+        poly = Geog(polys=[[rr.copy() for rr in rings2] for rings2 in g.polys])
+        res = s2_difference(poly, shell)
+        return res if not res.is_empty() else Geog(typ=3)
+    if distance_m == 0:
+        return Geog(polys=[[rr.copy() for rr in rings] for rings in g.polys]) \
+            if g.polys else Geog(typ=3)
+
+    r = distance_m / EARTH_RADIUS_METERS
+    qs = bp.quad_segs
+    pieces: List[Geog] = []
+    # point layer: circles for round caps; flat caps degenerate points to
+    # nothing (GEOS-compatible)
+    if bp.end_cap == "round" and bp.side == "both":
+        for lng, lat in g.points:
+            c = sphere.lnglat_to_xyz(np.array([lng, lat]))
+            pieces.append(Geog(polys=[[_point_circle_ring(c, r, 4 * qs)]]))
+    chains = [np.asarray(l) for l in g.lines if len(l) >= 2]
+    ring_chains = [rr for rings in g.polys for rr in rings if len(rr) >= 4]
+    for chain in chains:
+        v = sphere.lnglat_to_xyz(chain)
+        ne = len(v) - 1
+        if bp.side == "both" and bp.end_cap == "round":
+            for i in range(ne):
+                pieces.append(Geog(polys=[[
+                    _edge_capsule_ring(v[i], v[i + 1], r, qs)]]))
+        elif bp.side == "both":  # flat end caps, round interior joints
+            for i in range(ne):
+                pieces.append(Geog(polys=[[_edge_flat_quad(v[i], v[i + 1], r)]]))
+            for i in range(1, ne):
+                c = sphere.lnglat_to_xyz(chain[i])
+                pieces.append(Geog(polys=[[_point_circle_ring(c, r, 4 * qs)]]))
+        else:  # one-sided strip
+            for i in range(ne):
+                pieces.append(Geog(polys=[[_edge_side_piece(
+                    v[i], v[i + 1], r, bp.side, bp.end_cap, qs,
+                    cap_start=(i == 0), cap_end=(i == ne - 1))]]))
+            sign = 1.0 if bp.side == "left" else -1.0
+            for i in range(1, ne):
+                n1 = np.cross(v[i - 1], v[i])
+                n2 = np.cross(v[i], v[i + 1])
+                w = _joint_wedge(v[i], sign * n1 / np.linalg.norm(n1),
+                                 sign * n2 / np.linalg.norm(n2), r, qs)
+                if w is not None:
+                    pieces.append(Geog(polys=[[w]]))
+    # polygon boundary: always full round capsules (side/endcap apply to
+    # open lines per the reference's parameter semantics)
+    for rr in ring_chains:
+        v = sphere.lnglat_to_xyz(rr)
+        for i in range(len(v) - 1):
+            pieces.append(Geog(polys=[[
+                _edge_capsule_ring(v[i], v[i + 1], r, qs)]]))
+    if g.polys:
+        pieces.append(Geog(polys=[[rr.copy() for rr in rings]
+                                  for rings in g.polys]))
+    if not pieces:
+        return Geog(typ=3)
+    return _union_fold(pieces)
 
 
 # ---------------------------------------------------------------------------

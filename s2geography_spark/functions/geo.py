@@ -38,7 +38,8 @@ __all__ = [
     "point_wkb_columns", "register_sql_functions",
     "st_intersection", "st_union", "st_difference", "st_symdifference",
     "st_convexhull", "st_pointonsurface", "st_touches", "st_simplify",
-    "st_reduceprecision", "st_buffer", "st_isvalid", "st_isvalidreason",
+    "st_reduceprecision", "st_buffer", "st_buffer_quadsegs",
+    "st_buffer_params", "st_isvalid", "st_isvalidreason",
     "s2_intersectsbox", "s2_cell_center", "s2_cell_distance",
     "s2_cell_max_distance", "s2_cell_area", "s2_cell_common_ancestor_level",
     "s2_cellfromtoken", "s2_celltodebugstring", "s2_cellfromdebugstring",
@@ -355,7 +356,37 @@ def st_buffer(a: pd.Series, dist: pd.Series) -> pd.Series:
         if d is None:
             out.append(None)
             continue
-        out.append(to_wkb(_build.s2_buffer(g, d)))
+        out.append(to_wkb(_build.s2_buffer(g, float(d))))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def st_buffer_quadsegs(a: pd.Series, dist: pd.Series,
+                       quad_segs: pd.Series) -> pd.Series:
+    """3-arity st_buffer(geog, distance, quad_segs) — the reference's
+    BufferQuadSegsKernel (s2geography_c.cc:210-212 registers three
+    arities under one SQL name; Spark needs distinct names)."""
+    out = []
+    for g, d, q in zip(_decode_cache(a), dist, quad_segs):
+        if d is None or q is None:
+            out.append(None)
+            continue
+        out.append(to_wkb(_build.s2_buffer(g, float(d), quad_segs=int(q))))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def st_buffer_params(a: pd.Series, dist: pd.Series,
+                     params: pd.Series) -> pd.Series:
+    """st_buffer(geog, distance, 'endcap=.. side=.. quad_segs=N') — the
+    reference's BufferParamsKernel (BufferParams::Parse,
+    build.cc:1570-1608)."""
+    out = []
+    for g, d, p in zip(_decode_cache(a), dist, params):
+        if d is None or p is None:
+            out.append(None)
+            continue
+        out.append(to_wkb(_build.s2_buffer(g, float(d), params=str(p))))
     return pd.Series(out, dtype=object)
 
 
@@ -630,6 +661,8 @@ def register_sql_functions(spark):
         "st_convexhull": st_convexhull, "st_pointonsurface": st_pointonsurface,
         "st_touches": st_touches, "st_simplify": st_simplify,
         "st_reduceprecision": st_reduceprecision, "st_buffer": st_buffer,
+        "st_buffer_quadsegs": st_buffer_quadsegs,
+        "st_buffer_params": st_buffer_params,
         # cell-id kernels register as the raw UDFs: exact on non-null bigint
         # and on string ids; a nullable bigint raises (never a wrong cell) —
         # SQL callers with nullable ids should CAST(... AS STRING)
