@@ -711,6 +711,36 @@ class _CovererState:
     def may_intersect(self, cid: int) -> bool:
         return bool(self.may_intersect_batch(np.array([cid], dtype=np.uint64))[0])
 
+    def fully_inside_batch(self, cids: np.ndarray) -> np.ndarray:
+        """Vectorized 'cell entirely inside the region interior' test:
+        all 4 corners strictly inside, no region edge crosses a cell edge,
+        and no region vertex inside the cell (a hole or island boundary
+        inside the cell would otherwise be missed)."""
+        cids = np.asarray(cids, dtype=np.uint64)
+        n = len(cids)
+        if self.empty or n == 0 or len(self.ra) == 0:
+            return np.zeros(n, dtype=bool)
+        quads = C.cell_vertices_xyz(cids)  # (n, 4, 3)
+        corners_in = sphere.contains_points(
+            quads.reshape(-1, 3), self.ra, self.rb,
+            model="open").reshape(-1, 4).all(axis=1)
+        out = corners_in.copy()
+        if out.any() and len(self.ea):
+            qa = quads[out]
+            qb = qa[:, [1, 2, 3, 0]]
+            crosses = sphere.arcs_cross(
+                qa[:, :, None, :], qb[:, :, None, :],
+                self.ea[None, None, :, :], self.eb[None, None, :, :]
+            ).any(axis=(1, 2))
+            out[np.where(out)[0][crosses]] = False
+        if out.any():
+            rmin = C.range_min(cids[out])
+            rmax = C.range_max(cids[out])
+            vert_in = ((self.leafs[None, :] >= rmin[:, None])
+                       & (self.leafs[None, :] <= rmax[:, None])).any(axis=1)
+            out[np.where(out)[0][vert_in]] = False
+        return out
+
 
 def _cell_may_intersect_geog(cid: int, g: Geog) -> bool:
     """Exact-ish cell/geography intersection test (one-shot form)."""
@@ -764,6 +794,59 @@ def s2_covering(g: Optional[Geog], max_cells: int = 8,
             result.append(cid)
     # signed int64 view for Spark LongType
     return sorted(np.array(sorted(result), dtype=np.uint64).view(np.int64).tolist())
+
+
+def s2_interior_covering(g: Optional[Geog], max_cells: int = 8,
+                         max_level: int = MAX_COVER_LEVEL) -> Optional[List[int]]:
+    """Interior covering (coverings.cc:69-78 / GetInteriorCovering analog):
+    up to max_cells cells ENTIRELY inside the region's polygonal interior —
+    every point of every returned cell is contained.  Subdivides
+    boundary-partial cells breadth-first (biggest cells kept first) until
+    the budget or max_level is reached; non-polygonal input -> []."""
+    if g is None:
+        return None
+    if g.is_empty() or not any(rings for rings in g.polys):
+        return []
+    state = _CovererState(g)
+    faces = np.array([(f << 61) | (1 << 60) for f in range(6)], dtype=np.uint64)
+    inter = state.may_intersect_batch(faces)
+    full0 = state.fully_inside_batch(faces)
+    result = [int(c) for c in faces[full0]]
+    heap = []
+    seq = 0
+    for fc in faces[inter & ~full0]:
+        heapq.heappush(heap, (0, seq, int(fc)))
+        seq += 1
+    while heap and len(result) < max_cells:
+        lev, _, cid = heapq.heappop(heap)
+        if lev >= max_level:
+            continue
+        arr = np.full(4, cid, dtype=np.uint64)
+        children = C.child(arr, np.arange(4))
+        inter = state.may_intersect_batch(children)
+        full = state.fully_inside_batch(children)
+        for ch, it, fl in zip(children, inter, full):
+            if fl:
+                result.append(int(ch))
+            elif it:
+                heapq.heappush(heap, (lev + 1, seq, int(ch)))
+                seq += 1
+    return sorted(np.array(sorted(result[:max_cells]),
+                           dtype=np.uint64).view(np.int64).tolist())
+
+
+def s2_cell_union_bound(g: Optional[Geog]) -> Optional[List[int]]:
+    """Cheap coarse cell-union bound (geography.cc:23-57): < 10 points with
+    no edges -> one leaf cell per point; else a max_cells=4 covering — the
+    coarse pre-partition key, vs the exact max_cells=8 join covering."""
+    if g is None:
+        return None
+    if g.is_empty():
+        return []
+    if not g.lines and not g.polys and len(g.points) < 10:
+        ids = C.from_lnglat(g.points[:, 0], g.points[:, 1])
+        return sorted(set(int(i) for i in ids.view(np.int64)))
+    return s2_covering(g, max_cells=4)
 
 
 def buffered_covering_from_cells(cells, radius_m: float) -> List[int]:

@@ -35,6 +35,7 @@ __all__ = [
     "st_dimension", "st_isempty", "st_iscollection", "st_centroid",
     "st_boundingbox", "st_lineinterpolatepoint", "st_linelocatepoint",
     "s2_cellidfrompoint", "s2_coveringcellids", "s2_coveringcellids_buffered",
+    "s2_interiorcoveringcellids", "s2_cellunionbound",
     "point_wkb_columns", "register_sql_functions",
     "st_intersection", "st_union", "st_difference", "st_symdifference",
     "st_convexhull", "st_pointonsurface", "st_touches", "st_simplify",
@@ -604,8 +605,25 @@ def s2_coveringcellids(a: pd.Series) -> pd.Series:
 @pandas_udf(T.ArrayType(T.LongType()))
 def s2_coveringcellids_buffered(a: pd.Series, radius: pd.Series) -> pd.Series:
     return pd.Series(
-        [ops.s2_covering_buffered(g, r) if r is not None else None
+        [ops.s2_covering_buffered(g, float(r)) if r is not None else None
          for g, r in zip(_decode_cache(a), radius)], dtype=object)
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def s2_interiorcoveringcellids(a: pd.Series) -> pd.Series:
+    """Standalone interior covering (coverings.cc:69-78): cells entirely
+    inside the polygonal interior — refine-free containment for any point
+    whose cell is in this set."""
+    return pd.Series([ops.s2_interior_covering(g) for g in _decode_cache(a)],
+                     dtype=object)
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def s2_cellunionbound(a: pd.Series) -> pd.Series:
+    """Cheap coarse cell-union bound (geography.cc:23-57) — the coarse
+    pre-partition key, a superset of the exact join covering."""
+    return pd.Series([ops.s2_cell_union_bound(g) for g in _decode_cache(a)],
+                     dtype=object)
 
 
 # ---------------------------------------------------------------------------
@@ -654,6 +672,8 @@ def register_sql_functions(spark):
         "s2_cellidfrompoint": s2_cellidfrompoint,
         "s2_coveringcellids": s2_coveringcellids,
         "s2_coveringcellids_buffered": s2_coveringcellids_buffered,
+        "s2_interiorcoveringcellids": s2_interiorcoveringcellids,
+        "s2_cellunionbound": s2_cellunionbound,
         "st_isvalid": st_isvalid, "st_isvalidreason": st_isvalidreason,
         "s2_intersectsbox": s2_intersectsbox,
         "st_intersection": st_intersection, "st_union": st_union,

@@ -94,3 +94,67 @@ def test_minhash_identical_sets_always_collide(spark):
              minhash_lsh_pairs(docs, threshold=1.0).select("a", "b").collect()}
     assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# interior covering + cell union bound (coverings.cc:69-78, geography.cc:23-57)
+# ---------------------------------------------------------------------------
+
+def test_interior_covering_properties():
+    import numpy as np
+    from s2geography_spark.core import cellid as C
+    from s2geography_spark.core import ops, sphere
+    from s2geography_spark.core.geog import from_wkt
+    g = from_wkt("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))")
+    interior = ops.s2_interior_covering(g, max_cells=12)
+    exterior = ops.s2_covering(g, max_cells=8)
+    assert len(interior) > 0
+    ra, rb = g.ring_edges_xyz()
+    for cid in interior:
+        arr = np.array([cid], dtype=np.int64).view(np.uint64)
+        quads = C.cell_vertices_xyz(arr).reshape(-1, 3)
+        center = np.stack(C.to_xyz(arr), axis=-1)
+        probe = np.vstack([quads, center])
+        assert sphere.contains_points(probe, ra, rb, model="closed").all()
+        # interior cell is contained in some exterior covering cell
+        ext = np.array(exterior, dtype=np.int64).view(np.uint64)
+        assert bool(((C.range_min(ext) <= arr[0]) & (arr[0] <= C.range_max(ext))).any())
+
+
+def test_interior_covering_non_polygon_empty():
+    from s2geography_spark.core import ops
+    from s2geography_spark.core.geog import from_wkt
+    assert ops.s2_interior_covering(from_wkt("POINT (1 1)")) == []
+    assert ops.s2_interior_covering(from_wkt("LINESTRING (0 0, 1 1)")) == []
+    assert ops.s2_interior_covering(from_wkt("POLYGON EMPTY")) == []
+
+
+def test_cell_union_bound_superset():
+    import numpy as np
+    from s2geography_spark.core import cellid as C
+    from s2geography_spark.core import ops
+    from s2geography_spark.core.geog import from_wkt
+    g = from_wkt("POLYGON ((10 10, 15 10, 15 14, 10 14, 10 10))")
+    bound = np.array(ops.s2_cell_union_bound(g), dtype=np.int64).view(np.uint64)
+    assert 0 < len(bound) <= 6
+    # every vertex leaf cell is inside some bound cell
+    v = g.all_vertices_xyz()
+    leafs = C.from_xyz(v[:, 0], v[:, 1], v[:, 2])
+    lo = C.range_min(bound)
+    hi = C.range_max(bound)
+    assert (((leafs[:, None] >= lo[None, :]) & (leafs[:, None] <= hi[None, :]))
+            .any(axis=1).all())
+    # small point sets: one leaf per point
+    mp = from_wkt("MULTIPOINT ((0 0), (1 1), (2 2))")
+    assert len(ops.s2_cell_union_bound(mp)) == 3
+
+
+def test_interior_covering_sql(spark):
+    from s2geography_spark.functions.geo import register_sql_functions
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT size(s2_interiorcoveringcellids(st_geogfromtext("
+        "'POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))'))) AS n,"
+        " size(s2_cellunionbound(st_geogfromtext('POINT (3 3)'))) AS b"
+    ).collect()[0]
+    assert row.n > 0 and row.b == 1
