@@ -10,8 +10,12 @@ default, geoarrow.h:40-51): each ring is normalized so the first ring of a
 polygon is CCW (shell, interior on the left) and subsequent rings are CW
 (holes) — together these make the winding-number PIP in sphere.py correct.
 
-Z/M coordinates are parsed and dropped (engine scoped to XY; SURVEY.md §2.4
-"Edge/ZM tracking ... optional").
+Z/M coordinates are RETAINED (geoarrow-geography.h:64-67 parity): coordinate
+arrays widen to (n, 2 + has_z + has_m) with column order (lng, lat, z?, m?),
+tracked by ``Geog.zm``; WKT/WKB round-trip them and the interpolating ops
+(line-interpolate, closest-point, shortest/longest line) propagate them —
+see distance.cc:585-618.  Overlay/build outputs are XY (the reference's
+overlays also emit XY only, build.cc:1283-1286).
 """
 
 from __future__ import annotations
@@ -41,23 +45,41 @@ _EWKB_SRID = 0x20000000
 class Geog:
     """Decoded geography: point set + polylines + polygons (lists of rings).
 
-    points: (n, 2) lon/lat degrees
-    lines:  list of (m, 2) arrays
-    polys:  list of list-of-rings; ring = (m, 2) closed (first == last);
+    points: (n, w) lon/lat degrees (+ z, m columns when zm flags set)
+    lines:  list of (m, w) arrays
+    polys:  list of list-of-rings; ring = (m, w) closed (first == last);
             ring 0 normalized CCW (shell), others CW (holes).
     typ:    original WKB top-level type code (for typed EMPTY round-trips)
+    zm:     (has_z, has_m) — coordinate width is 2 + has_z + has_m
     """
 
-    __slots__ = ("points", "lines", "polys", "typ", "_xyz_cache")
+    __slots__ = ("points", "lines", "polys", "typ", "zm", "_xyz_cache")
 
-    def __init__(self, points=None, lines=None, polys=None, typ=None):
-        self.points = (np.zeros((0, 2)) if points is None
-                       else np.asarray(points, dtype=np.float64).reshape(-1, 2))
-        self.lines = [np.asarray(l, dtype=np.float64) for l in (lines or [])]
-        self.polys = [[np.asarray(r, dtype=np.float64) for r in rings]
-                      for rings in (polys or [])]
+    def __init__(self, points=None, lines=None, polys=None, typ=None,
+                 zm=(False, False)):
+        self.zm = (bool(zm[0]), bool(zm[1]))
+        w = 2 + self.zm[0] + self.zm[1]
+
+        def fit(a):
+            """Match declared width: wider input (slices of ZM arrays fed
+            to XY constructors — ops' outputs are XY per the reference)
+            truncates; narrower is an error, never a silent reshape."""
+            a = np.asarray(a, dtype=np.float64)
+            if a.ndim == 2:
+                if a.shape[1] < w:
+                    raise ValueError(
+                        f"coordinate width {a.shape[1]} < declared {w}")
+                return a[:, :w] if a.shape[1] > w else a
+            return a.reshape(-1, w)
+
+        self.points = np.zeros((0, w)) if points is None else fit(points)
+        self.lines = [fit(l) for l in (lines or [])]
+        self.polys = [[fit(r) for r in rings] for rings in (polys or [])]
         self.typ = typ
         self._xyz_cache = {}
+
+    def coord_width(self) -> int:
+        return 2 + self.zm[0] + self.zm[1]
 
     # -- basic accessors (reference accessors.cc semantics) ---------------
 
@@ -158,6 +180,37 @@ class Geog:
         return len(la) + len(ra)
 
 
+def _widen_coords(arr: np.ndarray, src_zm, dst_zm) -> np.ndarray:
+    """Re-layout (n, 2+k) coordinates from src (z?, m?) to dst flags,
+    padding missing columns with NaN (mixed-dimension collection inputs)."""
+    if src_zm == dst_zm:
+        return arr
+    arr = np.asarray(arr, dtype=np.float64)
+    n = len(arr)
+    cols = [arr[:, 0], arr[:, 1]]
+    zi = 2
+    if dst_zm[0]:
+        cols.append(arr[:, zi] if src_zm[0] else np.full(n, np.nan))
+    if src_zm[0]:
+        zi += 1
+    if dst_zm[1]:
+        cols.append(arr[:, zi] if src_zm[1] else np.full(n, np.nan))
+    return np.stack(cols, axis=-1) if n else np.zeros((0, 2 + dst_zm[0] + dst_zm[1]))
+
+
+def _upgrade_zm(g: Geog, has_z: bool, has_m: bool):
+    """Ensure g's coordinate width accommodates (has_z, has_m); widens the
+    already-parsed arrays when a collection mixes dimensions."""
+    new = (g.zm[0] or has_z, g.zm[1] or has_m)
+    if new == g.zm:
+        return
+    old = g.zm
+    g.points = _widen_coords(g.points, old, new)
+    g.lines = [_widen_coords(l, old, new) for l in g.lines]
+    g.polys = [[_widen_coords(r, old, new) for r in rings] for rings in g.polys]
+    g.zm = new
+
+
 # ---------------------------------------------------------------------------
 # ring orientation normalization
 # ---------------------------------------------------------------------------
@@ -212,21 +265,24 @@ class _Reader:
         arr = np.frombuffer(self.buf, dtype=fmt + "f8",
                             count=n * dim, offset=self.pos)
         self.pos += 8 * n * dim
-        return arr.reshape(n, dim)[:, :2].astype(np.float64)
+        return arr.reshape(n, dim).astype(np.float64)
 
     def read(self, g: Geog, top=False):
         fmt, code, has_z, has_m = self._hdr()
         if top:
             g.typ = code
+        _upgrade_zm(g, has_z, has_m)
         if code == _POINT:
-            c = self._coords(fmt, 1, has_z, has_m)
-            if not np.isnan(c).any():  # POINT EMPTY = NaN coords
+            c = _widen_coords(self._coords(fmt, 1, has_z, has_m),
+                              (has_z, has_m), g.zm)
+            if not np.isnan(c[:, :2]).any():  # POINT EMPTY = NaN coords
                 g.points = np.vstack([g.points, c])
         elif code == _LINESTRING:
             (n,) = struct.unpack_from(fmt + "I", self.buf, self.pos)
             self.pos += 4
             if n:
-                g.lines.append(self._coords(fmt, n, has_z, has_m))
+                g.lines.append(_widen_coords(
+                    self._coords(fmt, n, has_z, has_m), (has_z, has_m), g.zm))
         elif code == _POLYGON:
             (nr,) = struct.unpack_from(fmt + "I", self.buf, self.pos)
             self.pos += 4
@@ -234,7 +290,8 @@ class _Reader:
             for _ in range(nr):
                 (n,) = struct.unpack_from(fmt + "I", self.buf, self.pos)
                 self.pos += 4
-                rings.append(self._coords(fmt, n, has_z, has_m))
+                rings.append(_widen_coords(
+                    self._coords(fmt, n, has_z, has_m), (has_z, has_m), g.zm))
             if rings:
                 g.polys.append(_normalize_rings(rings))
         elif code in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION):
@@ -255,24 +312,31 @@ def from_wkb(buf: Optional[bytes]) -> Optional[Geog]:
 
 
 # ---------------------------------------------------------------------------
-# WKB writer (always little-endian ISO, XY only)
+# WKB writer (always little-endian ISO; Z/M via +1000/+2000 type offsets)
 # ---------------------------------------------------------------------------
 
-def _w_point(c) -> bytes:
-    return struct.pack("<bI2d", 1, _POINT, float(c[0]), float(c[1]))
+def _zm_code(base: int, zm) -> int:
+    return base + (1000 if zm[0] else 0) + (2000 if zm[1] else 0)
 
 
-def _w_point_empty() -> bytes:
-    return struct.pack("<bI2d", 1, _POINT, float("nan"), float("nan"))
+def _w_point(c, zm=(False, False)) -> bytes:
+    head = struct.pack("<bI", 1, _zm_code(_POINT, zm))
+    return head + np.asarray(c, dtype="<f8").tobytes()
 
 
-def _w_line(l) -> bytes:
-    head = struct.pack("<bII", 1, _LINESTRING, len(l))
+def _w_point_empty(zm=(False, False)) -> bytes:
+    w = 2 + zm[0] + zm[1]
+    return struct.pack("<bI", 1, _zm_code(_POINT, zm)) + \
+        np.full(w, np.nan, dtype="<f8").tobytes()
+
+
+def _w_line(l, zm=(False, False)) -> bytes:
+    head = struct.pack("<bII", 1, _zm_code(_LINESTRING, zm), len(l))
     return head + np.asarray(l, dtype="<f8").tobytes()
 
 
-def _w_poly(rings) -> bytes:
-    head = struct.pack("<bII", 1, _POLYGON, len(rings))
+def _w_poly(rings, zm=(False, False)) -> bytes:
+    head = struct.pack("<bII", 1, _zm_code(_POLYGON, zm), len(rings))
     body = b""
     for r in rings:
         body += struct.pack("<I", len(r)) + np.asarray(r, dtype="<f8").tobytes()
@@ -282,9 +346,11 @@ def _w_poly(rings) -> bytes:
 def to_wkb(g: Optional[Geog]) -> Optional[bytes]:
     """Write SF-typed WKB choosing the narrowest type (build.cc:631-671
     heuristic: single part -> simple type; same-dim multi -> MULTI*;
-    mixed -> GEOMETRYCOLLECTION)."""
+    mixed -> GEOMETRYCOLLECTION).  Z/M columns round-trip via ISO type
+    offsets."""
     if g is None:
         return None
+    zm = g.zm
     parts = []
     for c in np.atleast_2d(g.points) if len(g.points) else []:
         parts.append(("pt", c))
@@ -298,32 +364,33 @@ def to_wkb(g: Optional[Geog]) -> Optional[bytes]:
     if not parts:
         t = g.typ or _COLLECTION
         if t == _POINT:
-            return _w_point_empty()
-        if t in (_LINESTRING, _POLYGON):
-            return struct.pack("<bII", 1, t, 0)
-        return struct.pack("<bII", 1, t, 0)
+            return _w_point_empty(zm)
+        return struct.pack("<bII", 1, _zm_code(t, zm), 0)
 
     kinds = {k for k, _ in parts}
     if len(parts) == 1:
         k, v = parts[0]
         if k == "pt":
-            return _w_point(v)
+            return _w_point(v, zm)
         if k == "ln":
-            return _w_line(v)
-        return _w_poly(v)
+            return _w_line(v, zm)
+        return _w_poly(v, zm)
     if kinds == {"pt"}:
-        body = b"".join(_w_point(v) for _, v in parts)
-        return struct.pack("<bII", 1, _MULTIPOINT, len(parts)) + body
+        body = b"".join(_w_point(v, zm) for _, v in parts)
+        return struct.pack("<bII", 1, _zm_code(_MULTIPOINT, zm), len(parts)) + body
     if kinds == {"ln"}:
-        body = b"".join(_w_line(v) for _, v in parts)
-        return struct.pack("<bII", 1, _MULTILINESTRING, len(parts)) + body
+        body = b"".join(_w_line(v, zm) for _, v in parts)
+        return struct.pack("<bII", 1, _zm_code(_MULTILINESTRING, zm),
+                           len(parts)) + body
     if kinds == {"pg"}:
-        body = b"".join(_w_poly(v) for _, v in parts)
-        return struct.pack("<bII", 1, _MULTIPOLYGON, len(parts)) + body
+        body = b"".join(_w_poly(v, zm) for _, v in parts)
+        return struct.pack("<bII", 1, _zm_code(_MULTIPOLYGON, zm),
+                           len(parts)) + body
     body = b""
     for k, v in parts:
-        body += _w_point(v) if k == "pt" else _w_line(v) if k == "ln" else _w_poly(v)
-    return struct.pack("<bII", 1, _COLLECTION, len(parts)) + body
+        body += _w_point(v, zm) if k == "pt" else \
+            _w_line(v, zm) if k == "ln" else _w_poly(v, zm)
+    return struct.pack("<bII", 1, _zm_code(_COLLECTION, zm), len(parts)) + body
 
 
 def point_wkb(lng: float, lat: float) -> bytes:
@@ -363,27 +430,29 @@ class _WktParser:
 
     def _dims(self):
         t = self.peek()
-        nz = 0
         if t and t.upper() in ("Z", "M", "ZM"):
             self.next()
-            nz = len(t)
-        return nz
+            u = t.upper()
+            return ("Z" in u, "M" in u)
+        return (False, False)
 
-    def coords(self, extra):
+    def coords(self, zm):
         out = [float(self.next()), float(self.next())]
-        for _ in range(extra):
+        for _ in range(zm[0] + zm[1]):
             t = self.peek()
             if t in (",", ")"):
                 break
-            self.next()
+            out.append(float(self.next()))
+        while len(out) < 2 + zm[0] + zm[1]:
+            out.append(float("nan"))
         return out
 
-    def coord_seq(self, extra):
+    def coord_seq(self, zm):
         self.expect("(")
-        pts = [self.coords(extra)]
+        pts = [self.coords(zm)]
         while self.peek() == ",":
             self.next()
-            pts.append(self.coords(extra))
+            pts.append(self.coords(zm))
         self.expect(")")
         return np.array(pts, dtype=np.float64)
 
@@ -396,45 +465,51 @@ class _WktParser:
             raise ValueError(f"unknown WKT type {typ}")
         if top:
             g.typ = code
-        extra = self._dims()
+        zm = self._dims()
+        _upgrade_zm(g, *zm)
+
+        def widen(a):
+            return _widen_coords(np.atleast_2d(np.asarray(a, dtype=np.float64)),
+                                 zm, g.zm)
+
         if self.peek() and self.peek().upper() == "EMPTY":
             self.next()
             return
         if code == _POINT:
             self.expect("(")
-            c = self.coords(extra)
+            c = self.coords(zm)
             self.expect(")")
-            g.points = np.vstack([g.points, [c]])
+            g.points = np.vstack([g.points, widen([c])])
         elif code == _LINESTRING:
-            g.lines.append(self.coord_seq(extra))
+            g.lines.append(widen(self.coord_seq(zm)))
         elif code == _POLYGON:
             self.expect("(")
-            rings = [self.coord_seq(extra)]
+            rings = [self.coord_seq(zm)]
             while self.peek() == ",":
                 self.next()
-                rings.append(self.coord_seq(extra))
+                rings.append(self.coord_seq(zm))
             self.expect(")")
-            g.polys.append(_normalize_rings(rings))
+            g.polys.append(_normalize_rings([widen(r) for r in rings]))
         elif code in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON):
             self.expect("(")
             while True:
                 if code == _MULTIPOINT and self.peek() != "(":
                     # MULTIPOINT (0 0, 1 1) bare form
-                    g.points = np.vstack([g.points, [self.coords(extra)]])
+                    g.points = np.vstack([g.points, widen([self.coords(zm)])])
                 elif code == _MULTIPOINT:
                     self.expect("(")
-                    g.points = np.vstack([g.points, [self.coords(extra)]])
+                    g.points = np.vstack([g.points, widen([self.coords(zm)])])
                     self.expect(")")
                 elif code == _MULTILINESTRING:
-                    g.lines.append(self.coord_seq(extra))
+                    g.lines.append(widen(self.coord_seq(zm)))
                 else:
                     self.expect("(")
-                    rings = [self.coord_seq(extra)]
+                    rings = [self.coord_seq(zm)]
                     while self.peek() == ",":
                         self.next()
-                        rings.append(self.coord_seq(extra))
+                        rings.append(self.coord_seq(zm))
                     self.expect(")")
-                    g.polys.append(_normalize_rings(rings))
+                    g.polys.append(_normalize_rings([widen(r) for r in rings]))
                 if self.peek() == ",":
                     self.next()
                     continue
@@ -465,13 +540,25 @@ def _fmt(x: float, precision: int) -> str:
 
 
 def _fmt_seq(arr, precision):
-    return ", ".join(f"{_fmt(c[0], precision)} {_fmt(c[1], precision)}" for c in arr)
+    return ", ".join(" ".join(_fmt(x, precision) for x in c) for c in arr)
+
+
+def _zm_suffix(zm) -> str:
+    if zm[0] and zm[1]:
+        return " ZM"
+    if zm[0]:
+        return " Z"
+    if zm[1]:
+        return " M"
+    return ""
 
 
 def to_wkt(g: Optional[Geog], precision: int = 16) -> Optional[str]:
-    """WKT writer (default 16 significant digits, wkt-writer.h:11-21)."""
+    """WKT writer (default 16 significant digits, wkt-writer.h:11-21);
+    Z/M columns emit the 'TYPE Z|M|ZM (...)' form."""
     if g is None:
         return None
+    sfx = _zm_suffix(g.zm)
     parts = []
     for c in (np.atleast_2d(g.points) if len(g.points) else []):
         parts.append(("pt", c))
@@ -484,30 +571,31 @@ def to_wkt(g: Optional[Geog], precision: int = 16) -> Optional[str]:
     if not parts:
         name = {v: k for k, v in _WKT_TYPES.items()}.get(g.typ or _COLLECTION,
                                                          "GEOMETRYCOLLECTION")
-        return f"{name} EMPTY"
+        return f"{name}{sfx} EMPTY"
 
     def one(kind, v):
         if kind == "pt":
-            return f"POINT ({_fmt(v[0], precision)} {_fmt(v[1], precision)})"
+            return f"POINT{sfx} ({' '.join(_fmt(x, precision) for x in v)})"
         if kind == "ln":
-            return f"LINESTRING ({_fmt_seq(v, precision)})"
+            return f"LINESTRING{sfx} ({_fmt_seq(v, precision)})"
         rs = ", ".join(f"({_fmt_seq(r, precision)})" for r in v)
-        return f"POLYGON ({rs})"
+        return f"POLYGON{sfx} ({rs})"
 
     kinds = {k for k, _ in parts}
     if len(parts) == 1:
         return one(*parts[0])
     if kinds == {"pt"}:
-        inner = ", ".join(f"({_fmt(v[0], precision)} {_fmt(v[1], precision)})"
-                          for _, v in parts)
-        return f"MULTIPOINT ({inner})"
+        inner = ", ".join(
+            "(" + " ".join(_fmt(x, precision) for x in v) + ")"
+            for _, v in parts)
+        return f"MULTIPOINT{sfx} ({inner})"
     if kinds == {"ln"}:
         inner = ", ".join(f"({_fmt_seq(v, precision)})" for _, v in parts)
-        return f"MULTILINESTRING ({inner})"
+        return f"MULTILINESTRING{sfx} ({inner})"
     if kinds == {"pg"}:
         inner = ", ".join(
             "(" + ", ".join(f"({_fmt_seq(r, precision)})" for r in v) + ")"
             for _, v in parts)
-        return f"MULTIPOLYGON ({inner})"
+        return f"MULTIPOLYGON{sfx} ({inner})"
     inner = ", ".join(one(k, v) for k, v in parts)
-    return f"GEOMETRYCOLLECTION ({inner})"
+    return f"GEOMETRYCOLLECTION{sfx} ({inner})"

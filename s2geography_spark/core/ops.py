@@ -125,9 +125,10 @@ def s2_max_distance(g1, g2) -> Optional[float]:
 
 
 def _reflect(g: Geog) -> Geog:
-    """Antipodal reflection (lon+180 mirrored, lat negated)."""
+    """Antipodal reflection (lon+180 mirrored, lat negated); XY only."""
     def refl(c):
-        c = np.asarray(c, dtype=np.float64).reshape(-1, 2)
+        c = np.asarray(c, dtype=np.float64)
+        c = c[:, :2] if c.ndim == 2 else c.reshape(-1, c.shape[-1])[:, :2]
         lng = np.where(c[:, 0] > 0, c[:, 0] - 180.0, c[:, 0] + 180.0)
         return np.stack([lng, -c[:, 1]], axis=-1)
     return Geog(points=refl(g.points) if len(g.points) else None,
@@ -206,31 +207,114 @@ def _closest_pair(g1: Geog, g2: Geog):
     return best
 
 
+def _locate(g: Geog, p_xyz, tol: float = 1e-9):
+    """Locate p on g: (dist, lnglat, zm_row).  A coincident vertex (within
+    ~6 mm) returns its EXACT input coordinates and zm; otherwise the
+    nearest edge interpolates zm linearly (distance.cc:585-618) and the
+    lnglat is computed from p."""
+    p = np.asarray(p_xyz, dtype=np.float64)
+    chains = [g.points] if len(g.points) else []
+    chains += [l for l in g.lines if len(l)]
+    chains += [r for rings in g.polys for r in rings if len(r)]
+    if not chains:
+        return np.inf, sphere.xyz_to_lnglat(p), np.zeros(0)
+    V = np.vstack(chains)
+    vx = sphere.lnglat_to_xyz(V)
+    d = sphere.angle(vx, p[None, :])
+    k = int(np.argmin(d))
+    if d[k] <= tol:
+        return float(d[k]), V[k, :2], V[k, 2:]
+    best = None
+    for chain in ([l for l in g.lines if len(l) >= 2]
+                  + [r for rings in g.polys for r in rings if len(r) >= 2]):
+        cv = sphere.lnglat_to_xyz(chain)
+        a, b = cv[:-1], cv[1:]
+        dd = sphere.point_arc_distance(p[None, None, :],
+                                       a[None, :, :], b[None, :, :])[0]
+        j = int(np.argmin(dd))
+        if best is None or float(dd[j]) < best[0]:
+            seg = float(sphere.angle(a[j], b[j]))
+            t = float(sphere.angle(a[j], p)) / seg if seg > 0 else 0.0
+            zm = chain[j, 2:] * (1.0 - t) + chain[j + 1, 2:] * t
+            best = (float(dd[j]), zm)
+    if best is not None:
+        return best[0], sphere.xyz_to_lnglat(p), best[1]
+    return float(d[k]), sphere.xyz_to_lnglat(p), V[k, 2:]
+
+
+def _merge_zm(g1: Geog, g2: Geog):
+    return (g1.zm[0] or g2.zm[0], g1.zm[1] or g2.zm[1])
+
+
+def _with_zm(ll: np.ndarray, zm_vals, src_zm, dst_zm) -> np.ndarray:
+    """lnglat row + source zm columns re-laid-out to dst flags."""
+    from .geog import _widen_coords
+    row = np.concatenate([np.asarray(ll, dtype=np.float64),
+                          np.asarray(zm_vals, dtype=np.float64)])
+    return _widen_coords(row.reshape(1, -1), src_zm, dst_zm)[0]
+
+
+def _endpoint_row(g_own: Geog, g_other: Geog, p, dst_zm,
+                  tol: float = 1e-9) -> np.ndarray:
+    """Output row for an endpoint nominally on g_own: exact vertex coords +
+    zm when p sits on g_own's carriers; when it does not (interior-overlap
+    degenerate pairs), the zm comes from the side that actually contributed
+    the point (reference: interior closest point keeps the query's Z)."""
+    d_own, ll_own, zm_own = _locate(g_own, p, tol)
+    if d_own <= tol or g_other is None:
+        return _with_zm(ll_own, zm_own, g_own.zm, dst_zm)
+    d_oth, ll_oth, zm_oth = _locate(g_other, p, tol)
+    if d_oth <= tol:
+        return _with_zm(ll_oth, zm_oth, g_other.zm, dst_zm)
+    return _with_zm(ll_own, zm_own, g_own.zm, dst_zm)
+
+
 def s2_closest_point(g1, g2) -> Optional[Geog]:
-    """Point on g1 nearest g2 (distance.cc:585-618)."""
-    if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
+    """Point on g1 nearest g2, ZM carried from the source vertex/edge
+    (distance.cc:585-618); EMPTY input -> typed EMPTY point."""
+    if g1 is None or g2 is None:
         return None
+    if g1.is_empty() or g2.is_empty():
+        return Geog(typ=1, zm=_merge_zm(g1, g2))
     _, p, _ = _closest_pair(g1, g2)
-    return Geog(points=sphere.xyz_to_lnglat(p).reshape(1, 2))
+    if g1.zm == (False, False) and g2.zm == (False, False):
+        return Geog(points=sphere.xyz_to_lnglat(p).reshape(1, 2))
+    row = _endpoint_row(g1, g2, p, g1.zm)
+    return Geog(points=row.reshape(1, -1), zm=g1.zm)
+
+
+def _pair_line(g1: Geog, g2: Geog, p, q) -> Geog:
+    """2-vertex linestring (p on g1, q on g2) carrying each endpoint's ZM."""
+    zm = _merge_zm(g1, g2)
+    if zm == (False, False):
+        return Geog(lines=[np.vstack([sphere.xyz_to_lnglat(p),
+                                      sphere.xyz_to_lnglat(q)])])
+    r1 = _endpoint_row(g1, g2, p, zm)
+    r2 = _endpoint_row(g2, g1, q, zm)
+    return Geog(lines=[np.vstack([r1, r2])], zm=zm)
 
 
 def s2_shortest_line(g1, g2) -> Optional[Geog]:
-    """2-vertex linestring of the closest pair (distance.cc:656-706)."""
-    if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
+    """2-vertex linestring of the closest pair (distance.cc:656-706);
+    EMPTY input -> typed EMPTY linestring."""
+    if g1 is None or g2 is None:
         return None
+    if g1.is_empty() or g2.is_empty():
+        return Geog(typ=2, zm=_merge_zm(g1, g2))
     _, p, q = _closest_pair(g1, g2)
-    ll = np.vstack([sphere.xyz_to_lnglat(p), sphere.xyz_to_lnglat(q)])
-    return Geog(lines=[ll])
+    return _pair_line(g1, g2, p, q)
 
 
 def s2_longest_line(g1, g2) -> Optional[Geog]:
-    """2-vertex linestring of the farthest pair (distance.cc:708-744)."""
-    if g1 is None or g2 is None or g1.is_empty() or g2.is_empty():
+    """2-vertex linestring of the farthest pair (distance.cc:708-744);
+    EMPTY input -> typed EMPTY linestring."""
+    if g1 is None or g2 is None:
         return None
+    if g1.is_empty() or g2.is_empty():
+        return Geog(typ=2, zm=_merge_zm(g1, g2))
     _, p, qr = _closest_pair(g1, _reflect(g2))
     q = -np.asarray(qr)
-    ll = np.vstack([sphere.xyz_to_lnglat(p), sphere.xyz_to_lnglat(q)])
-    return Geog(lines=[ll])
+    return _pair_line(g1, g2, p, q)
 
 
 # ---------------------------------------------------------------------------
@@ -551,18 +635,25 @@ def s2_line_interpolate_point(g: Optional[Geog], fraction: float) -> Optional[Ge
     lines = [l for l in g.lines if len(l) >= 2]
     if len(lines) != 1 or len(g.points) or any(g.polys):
         return None
-    v = sphere.lnglat_to_xyz(lines[0])
+    chain = lines[0]
+    v = sphere.lnglat_to_xyz(chain)
     seg = sphere.angle(v[:-1], v[1:])
     cum = np.concatenate([[0.0], np.cumsum(seg)])
     total = cum[-1]
     if total == 0:
-        return Geog(points=lines[0][:1])
+        return Geog(points=chain[:1], zm=g.zm)
     target = np.clip(fraction, 0.0, 1.0) * total
     k = int(np.searchsorted(cum, target, side="right") - 1)
     k = min(k, len(seg) - 1)
     t = (target - cum[k]) / seg[k] if seg[k] > 0 else 0.0
     p = sphere.arc_interpolate(v[k], v[k + 1], t)
-    return Geog(points=sphere.xyz_to_lnglat(p).reshape(1, 2))
+    ll = sphere.xyz_to_lnglat(p)
+    if g.zm == (False, False):
+        return Geog(points=ll.reshape(1, 2))
+    # ZM interpolated linearly on the containing segment
+    # (linear-referencing.cc ZM goldens)
+    zm = chain[k, 2:] * (1.0 - t) + chain[k + 1, 2:] * t
+    return Geog(points=np.concatenate([ll, zm]).reshape(1, -1), zm=g.zm)
 
 
 def s2_line_locate_point(g: Optional[Geog], pt: Optional[Geog]) -> Optional[float]:
@@ -596,7 +687,9 @@ def s2_find_validation_error(g: Optional[Geog]) -> Optional[str]:
         return None
     for arr in ([g.points] + g.lines + [r for rings in g.polys for r in rings]):
         a = np.asarray(arr, dtype=np.float64)
-        if a.size and not np.isfinite(a).all():
+        # XY columns only: NaN-padded Z/M from mixed-dimension collections
+        # is legal (geoarrow-geography.h:64-67)
+        if a.size and not np.isfinite(a.reshape(len(a), -1)[:, :2]).all():
             return "non-finite coordinate"
     for l in g.lines:
         if len(l) == 1:

@@ -298,7 +298,8 @@ def st_boundingbox(a: pd.Series) -> pd.DataFrame:
 @pandas_udf(T.BinaryType())
 def st_lineinterpolatepoint(a: pd.Series, frac: pd.Series) -> pd.Series:
     return pd.Series(
-        [to_wkb(ops.s2_line_interpolate_point(g, f)) if f is not None else None
+        [to_wkb(ops.s2_line_interpolate_point(g, float(f)))
+         if f is not None else None
          for g, f in zip(_decode_cache(a), frac)], dtype=object)
 
 
