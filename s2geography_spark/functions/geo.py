@@ -36,6 +36,7 @@ __all__ = [
     "st_boundingbox", "st_lineinterpolatepoint", "st_linelocatepoint",
     "s2_cellidfrompoint", "s2_coveringcellids", "s2_coveringcellids_buffered",
     "s2_interiorcoveringcellids", "s2_cellunionbound",
+    "s2_encodetagged", "s2_decodetagged", "s2_taggedcovering",
     "point_wkb_columns", "register_sql_functions",
     "st_intersection", "st_union", "st_difference", "st_symdifference",
     "st_convexhull", "st_pointonsurface", "st_touches", "st_simplify",
@@ -610,6 +611,37 @@ def s2_coveringcellids_buffered(a: pd.Series, radius: pd.Series) -> pd.Series:
          for g, r in zip(_decode_cache(a), radius)], dtype=object)
 
 
+@pandas_udf(T.BinaryType())
+def s2_encodetagged(a: pd.Series, include_covering: pd.Series,
+                    compact: pd.Series) -> pd.Series:
+    """Tagged binary encode (EncodeTagged, geography_interface.h:118-201):
+    4-byte tag + optional embedded covering + body; compact enables the
+    12-byte CELL_CENTER form for snapped points."""
+    from ..core import encoding as E
+    return pd.Series(
+        [E.encode_tagged(g, include_covering=bool(ic),
+                         hint="compact" if cp else "fast")
+         if ic is not None and cp is not None else None
+         for g, ic, cp in zip(_decode_cache(a), include_covering, compact)],
+        dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def s2_decodetagged(a: pd.Series) -> pd.Series:
+    from ..core import encoding as E
+    return pd.Series([None if b is None else to_wkb(E.decode_tagged(bytes(b)))
+                      for b in a], dtype=object)
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def s2_taggedcovering(a: pd.Series) -> pd.Series:
+    """Embedded covering of a tagged buffer WITHOUT decoding the body —
+    the query-on-encoded-bytes prefilter (geography_interface.h:150-158)."""
+    from ..core import encoding as E
+    return pd.Series([None if b is None else E.tagged_covering(bytes(b))
+                      for b in a], dtype=object)
+
+
 @pandas_udf(T.ArrayType(T.LongType()))
 def s2_interiorcoveringcellids(a: pd.Series) -> pd.Series:
     """Standalone interior covering (coverings.cc:69-78): cells entirely
@@ -675,6 +707,9 @@ def register_sql_functions(spark):
         "s2_coveringcellids_buffered": s2_coveringcellids_buffered,
         "s2_interiorcoveringcellids": s2_interiorcoveringcellids,
         "s2_cellunionbound": s2_cellunionbound,
+        "s2_encodetagged": s2_encodetagged,
+        "s2_decodetagged": s2_decodetagged,
+        "s2_taggedcovering": s2_taggedcovering,
         "st_isvalid": st_isvalid, "st_isvalidreason": st_isvalidreason,
         "s2_intersectsbox": s2_intersectsbox,
         "st_intersection": st_intersection, "st_union": st_union,

@@ -155,3 +155,61 @@ def bbox_agg(df: DataFrame, group_cols: list[str], lng: str = "lng",
         .otherwise(F.col("_dhi"))
     return agg.select(*group_cols, xmin.alias("xmin"), F.col("ymin"),
                       xmax.alias("xmax"), F.col("ymax"))
+
+
+def _concat_merge(wkbs, dedupe_points: bool) -> bytes:
+    parts = [from_wkb(bytes(b)) for b in wkbs if b is not None]
+    parts = [g for g in parts if g is not None and not g.is_empty()]
+    if not parts:
+        return to_wkb(Geog(typ=7))
+    pts = [g.points for g in parts if len(g.points)]
+    points = np.vstack(pts) if pts else None
+    if points is not None and dedupe_points:
+        points = np.unique(points, axis=0)
+    return to_wkb(Geog(
+        points=points,
+        lines=[l.copy() for g in parts for l in g.lines],
+        polys=[[r.copy() for r in rings] for g in parts for rings in g.polys]))
+
+
+def _two_phase_merge(df: DataFrame, geog: str, group_cols: list[str],
+                     dedupe_points: bool) -> DataFrame:
+    fields = df.select(*group_cols).schema
+    schema1 = T.StructType(list(fields) +
+                           [T.StructField("geog_union", T.BinaryType())])
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: pdf[c].iloc[0] for c in group_cols}
+        return pd.DataFrame({**{c: [keys[c]] for c in group_cols},
+                             "geog_union": [_concat_merge(pdf[geog],
+                                                          dedupe_points)]})
+
+    salted = df.withColumn("_p", F.spark_partition_id())
+    partials = salted.groupBy(*group_cols, "_p").applyInPandas(partial, schema1)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: pdf[c].iloc[0] for c in group_cols}
+        return pd.DataFrame({**{c: [keys[c]] for c in group_cols},
+                             "geog_union": [_concat_merge(pdf["geog_union"],
+                                                          dedupe_points)]})
+
+    return partials.groupBy(*group_cols).applyInPandas(final, schema1)
+
+
+def rebuild_agg(df: DataFrame, geog: str, group_cols: list[str]) -> DataFrame:
+    """RebuildAggregator (build.h:64-73): accumulate every input shape and
+    rebuild once into a single normalized geography — shapes are merged
+    verbatim (ring orientation re-normalized at decode), duplicate points
+    collapse.  No boolean op runs: overlapping polygon inputs stay as-is
+    (use union_agg for a true union)."""
+    return _two_phase_merge(df, geog, group_cols, dedupe_points=True)
+
+
+def coverage_union_agg(df: DataFrame, geog: str,
+                       group_cols: list[str]) -> DataFrame:
+    """S2CoverageUnionAggregator (build.h:75-86): union of DISJOINT inputs —
+    the no-compute fast path that simply merges shape vectors (the
+    reference unions with empty over the combined index).  Caller contract:
+    inputs within a group do not overlap; for overlapping inputs the result
+    double-covers (exactly like the reference) — use union_agg instead."""
+    return _two_phase_merge(df, geog, group_cols, dedupe_points=False)

@@ -158,3 +158,64 @@ def test_interior_covering_sql(spark):
         " size(s2_cellunionbound(st_geogfromtext('POINT (3 3)'))) AS b"
     ).collect()[0]
     assert row.n > 0 and row.b == 1
+
+
+# ---------------------------------------------------------------------------
+# tagged binary encoding + distinct aggregators
+# ---------------------------------------------------------------------------
+
+def test_tagged_roundtrip_and_prefix(spark):
+    from s2geography_spark.functions.geo import register_sql_functions
+    register_sql_functions(spark)
+    rows = spark.sql("""
+      SELECT st_astext(s2_decodetagged(s2_encodetagged(
+               st_geogfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+               true, false))) AS rt,
+             size(s2_taggedcovering(s2_encodetagged(
+               st_geogfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+               true, false))) AS ncov,
+             length(s2_encodetagged(st_geogfromtext('POINT EMPTY'),
+               false, false)) AS nempty
+    """).collect()[0]
+    assert rows.rt == "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    assert rows.ncov > 0
+    assert rows.nempty == 4  # tag only: empty flag, no covering, no body
+
+
+def test_tagged_cell_center_compact():
+    import numpy as np
+    from s2geography_spark.core import cellid as C, encoding as E
+    from s2geography_spark.core.geog import Geog
+    cell = C.parent(C.from_lnglat(np.array([10.0]), np.array([20.0])), 25)
+    lng, lat = C.to_lnglat(cell)
+    g = Geog(points=np.stack([lng, lat], axis=-1))
+    b = E.encode_tagged(g, hint="compact")
+    assert len(b) == 12 and E.decode_tag(b)["kind"] == E.KIND_CELL_CENTER
+    rt = E.decode_tagged(b)
+    assert float(rt.points[0, 0]) == float(lng[0])
+    assert float(rt.points[0, 1]) == float(lat[0])
+
+
+def test_coverage_union_agg_disjoint(spark):
+    from s2geography_spark.core import ops
+    from s2geography_spark.core.geog import from_wkb, from_wkt, to_wkb
+    from s2geography_spark.operators.aggregates import (coverage_union_agg,
+                                                        rebuild_agg, union_agg)
+    a = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    b = "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"
+    df = spark.createDataFrame(
+        [(1, to_wkb(from_wkt(a))), (1, to_wkb(from_wkt(b)))],
+        "g int, geog binary")
+    cov = from_wkb(bytes(coverage_union_agg(df, "geog", ["g"])
+                         .collect()[0].geog_union))
+    uni = from_wkb(bytes(union_agg(df, "geog", ["g"]).collect()[0].geog_union))
+    # disjoint-input fast path == true union
+    assert ops.s2_equals(cov, uni) is True
+    assert len(cov.polys) == 2
+    # rebuild collapses duplicate points
+    df2 = spark.createDataFrame(
+        [(1, to_wkb(from_wkt("POINT (1 1)"))),
+         (1, to_wkb(from_wkt("POINT (1 1)"))),
+         (1, to_wkb(from_wkt("POINT (2 2)")))], "g int, geog binary")
+    rb = from_wkb(bytes(rebuild_agg(df2, "geog", ["g"]).collect()[0].geog_union))
+    assert len(rb.points) == 2
