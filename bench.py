@@ -83,6 +83,28 @@ def run_join_bench(spark, mentions_path: str):
     return int(rows_in), rows_out, dt
 
 
+def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4):
+    """Shuffle-path variant of the headline join (broadcast=False): region
+    WKB travels with rows through a hash-partitioned equi-join on the
+    (salted) cell key — the mode a non-broadcastable dim takes.  Used by
+    the scaling bench to evidence the north rule on BOTH join modes."""
+    from pyspark.sql import functions as F
+    from s2geography_spark.operators.spatial_join import spatial_join
+    from s2geography_spark.sources.regions import regions_df
+
+    mentions = spark.read.parquet(mentions_path)
+    regions = regions_df(spark, 96, covering_level=6)
+    leaf = "leaf" if "leaf" in mentions.columns else None
+    t0 = time.time()
+    joined = spatial_join(mentions, regions, predicate="contains",
+                          broadcast=False, salt=salt, level=6, leaf_col=leaf)
+    out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
+    dt = time.time() - t0
+    rows_out = int(sum(r.n for r in out))
+    rows_in = mentions.count()
+    return int(rows_in), rows_out, dt
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

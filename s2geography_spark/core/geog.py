@@ -267,7 +267,7 @@ class _Reader:
         self.pos += 8 * n * dim
         return arr.reshape(n, dim).astype(np.float64)
 
-    def read(self, g: Geog, top=False):
+    def read(self, g: Geog, top=False, oriented=False, check=False):
         fmt, code, has_z, has_m = self._hdr()
         if top:
             g.typ = code
@@ -281,6 +281,9 @@ class _Reader:
             (n,) = struct.unpack_from(fmt + "I", self.buf, self.pos)
             self.pos += 4
             if n:
+                if check and n < 2:
+                    raise ValueError(
+                        "invalid linestring (check=True): needs >= 2 points")
                 g.lines.append(_widen_coords(
                     self._coords(fmt, n, has_z, has_m), (has_z, has_m), g.zm))
         elif code == _POLYGON:
@@ -293,22 +296,75 @@ class _Reader:
                 rings.append(_widen_coords(
                     self._coords(fmt, n, has_z, has_m), (has_z, has_m), g.zm))
             if rings:
-                g.polys.append(_normalize_rings(rings))
+                if check:
+                    for r in rings:
+                        if len(r) < 4 or (r[0, :2] != r[-1, :2]).any():
+                            raise ValueError(
+                                "invalid polygon ring (check=True): must be "
+                                "closed with >= 4 points")
+                g.polys.append(rings if oriented else _normalize_rings(rings))
         elif code in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION):
             (n,) = struct.unpack_from(fmt + "I", self.buf, self.pos)
             self.pos += 4
             for _ in range(n):
-                self.read(g)
+                self.read(g, oriented=oriented, check=check)
         else:
             raise ValueError(f"unsupported WKB geometry type {code}")
 
 
-def from_wkb(buf: Optional[bytes]) -> Optional[Geog]:
+def from_wkb(buf: Optional[bytes], oriented: bool = False,
+             check: bool = False, planar: bool = False,
+             tessellate_tolerance_m: float = 100.0) -> Optional[Geog]:
+    """Decode WKB with the reference reader's import options
+    (geoarrow.h:40-76):
+
+    oriented: take ring winding as given (a CW shell means 'everything
+      else'; the winding-number kernels consume signed windings natively)
+      instead of normalizing first=CCW shell / rest=CW holes.
+    check: raise on invalid structure (unclosed or short rings, short
+      lines) instead of silently normalizing/ignoring.
+    planar: input edges are straight lines in lng/lat space — each edge is
+      tessellated (plate-carree densification) so the spherical geodesic
+      chain stays within tessellate_tolerance_m of the planar segment.
+    """
     if buf is None:
         return None
     g = Geog()
-    _Reader(bytes(buf)).read(g, top=True)
+    _Reader(bytes(buf)).read(g, top=True, oriented=oriented, check=check)
+    if planar:
+        g = tessellate_planar(g, tessellate_tolerance_m)
     return g
+
+
+def tessellate_planar(g: Geog, tolerance_m: float = 100.0) -> Geog:
+    """Reinterpret planar (straight-in-lnglat) edges as spherical: bisect
+    each edge in lng/lat space until the geodesic midpoint is within the
+    tolerance of the planar midpoint (the plate-carree projection import
+    path, geoarrow.h:59-76 + projections.h:12-16)."""
+    tol_rad = max(tolerance_m, 0.001) / sphere.EARTH_RADIUS_METERS
+
+    def tess_chain(chain: np.ndarray) -> np.ndarray:
+        out = [chain[0]]
+        for i in range(len(chain) - 1):
+            _subdivide(chain[i], chain[i + 1], out, depth=0)
+        return np.array(out)
+
+    def _subdivide(p0, p1, out, depth):
+        mid = (np.asarray(p0) + np.asarray(p1)) / 2.0
+        a = sphere.lnglat_to_xyz(np.asarray(p0)[:2])
+        b = sphere.lnglat_to_xyz(np.asarray(p1)[:2])
+        gm = sphere.arc_interpolate(a, b, 0.5)
+        pm = sphere.lnglat_to_xyz(mid[:2])
+        if depth >= 16 or float(sphere.angle(gm, pm)) <= tol_rad:
+            out.append(np.asarray(p1))
+            return
+        _subdivide(p0, mid, out, depth + 1)
+        _subdivide(mid, p1, out, depth + 1)
+
+    return Geog(points=g.points.copy() if len(g.points) else None,
+                lines=[tess_chain(l) for l in g.lines if len(l) >= 2],
+                polys=[[tess_chain(r) for r in rings] for rings in g.polys],
+                typ=g.typ, zm=g.zm)
 
 
 # ---------------------------------------------------------------------------

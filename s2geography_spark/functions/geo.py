@@ -28,7 +28,8 @@ from ..core import ops, sphere
 from ..core.geog import Geog, from_wkb, from_wkt, to_wkb, to_wkt
 
 __all__ = [
-    "st_geogfromtext", "st_astext", "st_intersects", "st_contains",
+    "st_geogfromtext", "st_geogfromwkb", "st_astext", "st_intersects",
+    "st_contains",
     "st_within", "st_disjoint", "st_equals", "st_dwithin", "st_distance",
     "st_maxdistance", "st_closestpoint", "st_shortestline", "st_longestline",
     "st_area", "st_length", "st_perimeter", "st_x", "st_y", "st_npoints",
@@ -414,6 +415,21 @@ def st_geogfromtext(a: pd.Series) -> pd.Series:
                      dtype=object)
 
 
+@pandas_udf(T.BinaryType())
+def st_geogfromwkb(a: pd.Series, oriented: pd.Series, planar: pd.Series) -> pd.Series:
+    """Import WKB with the reference reader's options (geoarrow.h:40-76):
+    oriented keeps ring winding as given; planar tessellates straight
+    lng/lat edges into geodesic chains (plate-carree import)."""
+    out = []
+    for b, o, p in zip(a, oriented, planar):
+        if b is None or o is None or p is None:
+            out.append(None)
+            continue
+        g = from_wkb(bytes(b), oriented=bool(o), planar=bool(p))
+        out.append(to_wkb(g))
+    return pd.Series(out, dtype=object)
+
+
 @pandas_udf(T.BooleanType())
 def st_isvalid(a: pd.Series) -> pd.Series:
     return pd.Series([ops.s2_is_valid(g) for g in _decode_cache(a)],
@@ -689,6 +705,7 @@ def register_sql_functions(spark):
     kernel registry, s2geography_c.cc:181-221)."""
     pairs = {
         "st_geogfromtext": st_geogfromtext, "st_astext": st_astext,
+        "st_geogfromwkb": st_geogfromwkb,
         "st_intersects": st_intersects, "st_contains": st_contains,
         "st_within": st_within, "st_disjoint": st_disjoint,
         "st_equals": st_equals, "st_dwithin": st_dwithin,

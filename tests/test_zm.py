@@ -151,3 +151,53 @@ def test_zm_sql_roundtrip(spark):
     ).collect()[0]
     assert r.p == "POINT ZM (0 1 11 21)"
     assert r.c == "POINT Z (0 0 10)"
+
+
+# ---------------------------------------------------------------------------
+# planar-input import options (geoarrow.h:40-76)
+# ---------------------------------------------------------------------------
+
+def test_from_wkb_oriented_preserves_winding():
+    import struct
+    from s2geography_spark.core import sphere
+    ring = np.array([[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]], dtype="<f8")
+    wkb_cw = struct.pack("<bII", 1, 3, 1) + struct.pack("<I", 5) + ring.tobytes()
+    g_def = from_wkb(wkb_cw)
+    g_or = from_wkb(wkb_cw, oriented=True)
+    a_def = sphere.ring_signed_area(sphere.lnglat_to_xyz(g_def.polys[0][0]))
+    a_or = sphere.ring_signed_area(sphere.lnglat_to_xyz(g_or.polys[0][0]))
+    assert a_def > 0 and a_or < 0  # default normalizes CCW; oriented keeps CW
+
+
+def test_from_wkb_check_raises_on_invalid():
+    import struct
+    ring = np.array([[0, 0], [0, 1], [1, 1]], dtype="<f8")  # unclosed, short
+    bad = struct.pack("<bII", 1, 3, 1) + struct.pack("<I", 3) + ring.tobytes()
+    with pytest.raises(ValueError, match="check=True"):
+        from_wkb(bad, check=True)
+    assert from_wkb(bad) is not None  # default: tolerant
+
+
+def test_planar_tessellation_follows_parallel():
+    from s2geography_spark.core.geog import tessellate_planar
+    g = from_wkt("LINESTRING (0 60, 30 60)")
+    t = tessellate_planar(g, tolerance_m=100.0)
+    lats = t.lines[0][:, 1]
+    assert len(t.lines[0]) > 10          # densified
+    assert float(np.abs(lats - 60).max()) < 1e-9  # stays on the parallel
+    # geodesic deviation of each sub-edge from the planar line is < tol
+    from s2geography_spark.core import sphere
+    v = sphere.lnglat_to_xyz(t.lines[0])
+    mids = sphere.arc_interpolate(v[:-1], v[1:], 0.5)
+    planar_mids = sphere.lnglat_to_xyz((t.lines[0][:-1, :2] + t.lines[0][1:, :2]) / 2)
+    dev = sphere.angle(mids, planar_mids) * ops.EARTH_RADIUS_METERS
+    assert float(dev.max()) <= 100.0 * 1.01
+
+
+def test_planar_import_sql(spark):
+    from s2geography_spark.functions.geo import register_sql_functions
+    register_sql_functions(spark)
+    r = spark.sql(
+        "SELECT st_npoints(st_geogfromwkb(st_geogfromtext("
+        "'LINESTRING (0 60, 30 60)'), false, true)) AS n").collect()[0]
+    assert r.n > 10
