@@ -327,11 +327,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     clones = docs.where(F.col("doc_id") < 20) \
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    corpus = docs.unionAll(clones)
+    # persist the shared corpus: the LSH band self-join and the two digest
+    # branches would otherwise re-scan + re-run the signature UDF 4x
+    corpus = docs.unionAll(clones).persist()
     cand = minhash_lsh_pairs(corpus, threshold=1.0).select("a", "b")
     digest = corpus.select(
         "doc_id", shingle_set_digest_udf()(F.col("text")).alias("dg")) \
-        .where(F.col("dg").isNotNull())
+        .where(F.col("dg").isNotNull()).persist()
     da = digest.select(F.col("doc_id").alias("a"), F.col("dg").alias("dg_a"))
     db = digest.select(F.col("doc_id").alias("b"), F.col("dg").alias("dg_b"))
     return (cand.join(da, "a").join(db, "b")
@@ -352,7 +354,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = docs.where(F.col("doc_id") < 20) \
         .select((F.col("doc_id") + 100000).alias("doc_id"),
                 F.upper(F.col("text")).alias("text"))
-    corpus = docs.unionAll(clones)
+    corpus = docs.unionAll(clones).persist()
     cand = simhash_near_pairs(corpus, max_hamming=0)
     # normalized token stream, exactly as simhash_udf tokenizes
     # (text.lower().split()): md5 over the space-joined tokens
