@@ -95,6 +95,11 @@ def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4):
     mentions = spark.read.parquet(mentions_path)
     regions = regions_df(spark, 96, covering_level=6)
     leaf = "leaf" if "leaf" in mentions.columns else None
+    # column pruning BEFORE the fact-side shuffle: the rollup needs only
+    # the coordinates (+ the ingest leaf cell); shuffling the url string
+    # would triple the exchange bytes for nothing
+    cols = ["lng", "lat"] + (["leaf"] if leaf else [])
+    mentions = mentions.select(*cols)
     t0 = time.time()
     joined = spatial_join(mentions, regions, predicate="contains",
                           broadcast=False, salt=salt, level=6, leaf_col=leaf)
@@ -130,7 +135,8 @@ def main():
     timings = {"spatial_join_flagship": round(join_sec, 3),
                "spatial_join_only": round(jdt, 3)}
     bench_queries = [
-        "geo_pip_pairs", "geo_knn", "geo_tiles_z8", "geo_centroid_nation",
+        "geo_pip_pairs", "geo_knn", "geo_dwithin_500km", "geo_bbox_nation",
+        "geo_overlay_adjacent", "geo_tiles_z8", "geo_centroid_nation",
         "text_stats", "lang_id", "dedup_exact", "minhash_lsh", "simhash",
         "ann_topk", "embedding_near_dup", "lineitem_agg", "events_window",
     ]

@@ -212,6 +212,42 @@ def s2_simplify(g: Optional[Geog], tolerance_m: float) -> Optional[Geog]:
                 lines=lines, polys=polys, typ=g.typ)
 
 
+def s2_rebuild(g: Optional[Geog]) -> Optional[Geog]:
+    """Snap/validate round-trip (build.cc:259-319 s2_rebuild with the
+    identity snap function): drop duplicate adjacent vertices, drop
+    degenerate parts (sub-2-point lines, sub-4-point rings), re-normalize
+    ring orientation (shell CCW / holes CW)."""
+    if g is None:
+        return None
+
+    def clean(arr):
+        a = np.asarray(arr, dtype=np.float64)
+        if len(a) == 0:
+            return a
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = np.abs(a[1:, :2] - a[:-1, :2]).max(axis=1) > 0
+        return a[keep]
+
+    pts = np.unique(g.points, axis=0) if len(g.points) else None
+    lines = [c for c in (clean(l) for l in g.lines) if len(c) >= 2]
+    polys = []
+    for rings in g.polys:
+        new_rings = []
+        for k, r in enumerate(rings):
+            c = clean(r)
+            if len(c) and (c[0, :2] != c[-1, :2]).any():
+                c = np.vstack([c, c[:1]])
+            if len(c) >= 4:
+                new_rings.append(c)
+            elif k == 0:
+                new_rings = []
+                break
+        if new_rings:
+            from .geog import _normalize_rings
+            polys.append(_normalize_rings(new_rings))
+    return Geog(points=pts, lines=lines, polys=polys, typ=g.typ, zm=g.zm)
+
+
 def s2_reduce_precision(g: Optional[Geog], grid_exponent: int) -> Optional[Geog]:
     """Snap lon/lat to 10^-e degrees (IntLatLngSnapFunction analog); drops
     parts that collapse."""

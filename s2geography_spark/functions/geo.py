@@ -46,7 +46,7 @@ __all__ = [
     "s2_intersectsbox", "s2_cell_center", "s2_cell_distance",
     "s2_cell_max_distance", "s2_cell_area", "s2_cell_common_ancestor_level",
     "s2_cellfromtoken", "s2_celltodebugstring", "s2_cellfromdebugstring",
-    "multipoint_wkb", "st_intersection_area", "st_unaryunion",
+    "multipoint_wkb", "st_intersection_area", "st_unaryunion", "st_rebuild",
 ]
 
 
@@ -350,6 +350,14 @@ def st_intersection_area(a: pd.Series, b: pd.Series) -> pd.Series:
 @pandas_udf(T.BinaryType())
 def st_unaryunion(a: pd.Series) -> pd.Series:
     return pd.Series([to_wkb(_build.s2_unary_union(g))
+                      for g in _decode_cache(a)], dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def st_rebuild(a: pd.Series) -> pd.Series:
+    """s2_rebuild (build.cc:259-319): identity-snap round-trip — dedupe
+    adjacent vertices, drop degenerate parts, re-normalize rings."""
+    return pd.Series([to_wkb(_build.s2_rebuild(g))
                       for g in _decode_cache(a)], dtype=object)
 
 
@@ -750,6 +758,7 @@ def register_sql_functions(spark):
         "multipoint_wkb": multipoint_wkb,
         "st_intersection_area": st_intersection_area,
         "st_unaryunion": st_unaryunion,
+        "st_rebuild": st_rebuild,
     }
     for name, fn in pairs.items():
         spark.udf.register(name, fn)

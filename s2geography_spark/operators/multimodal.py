@@ -1,16 +1,24 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) columns: opaque ``binary`` + typed metadata.
 
-Media are opaque ``binary`` columns with typed metadata structs.  The Spark
-side — schemas, Arrow batch shapes, partition sizing — is real and tested;
-the actual codec work is stubbed (image/audio libraries are not available
-in this environment) behind ``deterministic_fake=True`` or a clearly marked
-NotImplementedError, so swapping in PIL/ffmpeg later changes only the inner
-function body.
+Round 2 upgrade: the decode step is REAL for the formats a from-scratch
+NumPy codec can honestly implement —
+
+  * images: PPM (P6) / PGM (P5) — header + raw samples
+  * audio:  WAV (RIFF, 16-bit PCM)
+  * video:  a simple length-prefixed container of PPM frames ("VID1")
+
+so decode / feature-extract / resize / frame-sample run end-to-end on real
+bytes.  Compressed codecs (JPEG/PNG/MP3/H264) still raise the clearly
+marked NotImplementedError seam — those require external libraries this
+container does not have; swapping PIL/ffmpeg in changes only the codec
+table.  The Spark side (schemas, mapInPandas batch shapes, frame-explosion
+partition shape) is unchanged and tested.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -30,58 +38,194 @@ MEDIA_META_SCHEMA = T.StructType([
 FEATURE_SCHEMA = "id long, media_type string, feat array<float>, ok boolean"
 
 
-def synthesize_media_df(spark, n: int) -> DataFrame:
-    """Deterministic fake media table: (id, media binary, meta struct)."""
-    df = spark.range(n).withColumnRenamed("id", "id")
-    body = F.encode(F.concat(F.lit("MEDIA:"), F.col("id").cast("string"),
-                             F.lit(":"), F.repeat(F.lit("x"),
-                             (F.pmod(F.col("id"), F.lit(64)) + 1).cast("int"))), "UTF-8")
-    mt = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                      (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"))
-    return df.select(
-        "id", body.alias("media"),
-        F.struct(
-            mt.alias("media_type"), F.lit("fake/v1").alias("codec"),
-            (F.pmod(F.col("id"), F.lit(64)) * 16 + 16).cast("int").alias("width"),
-            (F.pmod(F.col("id"), F.lit(48)) * 16 + 16).cast("int").alias("height"),
-            (F.pmod(F.col("id"), F.lit(1000)) * 40).cast("long").alias("duration_ms"),
-            F.length(body).cast("long").alias("n_bytes"),
-        ).alias("meta"))
+# ---------------------------------------------------------------------------
+# real pure-NumPy codecs
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> PPM P6 bytes."""
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
 
 
-def _decode_stub(media: bytes, media_type: str, deterministic_fake: bool):
-    """STUB decode: real codecs are unavailable in this container.
-
-    deterministic_fake=True returns a reproducible 8-dim feature derived
-    from the bytes; False raises NotImplementedError (the marked seam where
-    PIL / torchaudio / ffmpeg plug in)."""
-    if not deterministic_fake:
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """PPM P6 / PGM P5 bytes -> (h, w, 3) / (h, w) uint8."""
+    if buf[:2] not in (b"P6", b"P5"):
         raise NotImplementedError(
-            "media decode requires image/audio libraries not present here")
-    h = np.frombuffer(media, dtype=np.uint8)
-    acc = np.zeros(8, dtype=np.float64)
-    idx = np.arange(len(h)) % 8
-    np.add.at(acc, idx, h.astype(np.float64))
-    return (acc / max(len(h), 1)).astype(np.float32)
+            f"image codec {buf[:2]!r} requires external libraries "
+            "(only PPM/PGM decode natively)")
+    parts = []
+    pos = 2
+    while len(parts) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":  # comment line
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(buf) and not buf[end:end + 1].isspace():
+            end += 1
+        parts.append(int(buf[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, _maxval = parts
+    if buf[:2] == b"P6":
+        return np.frombuffer(buf, dtype=np.uint8, count=w * h * 3,
+                             offset=pos).reshape(h, w, 3)
+    return np.frombuffer(buf, dtype=np.uint8, count=w * h,
+                         offset=pos).reshape(h, w)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> RIFF/WAV PCM bytes."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE", b"fmt ",
+        16, 1, 1, rate, rate * 2, 2, 16, b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(buf: bytes) -> Tuple[np.ndarray, int]:
+    """WAV PCM bytes -> (int16 samples, sample_rate)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "audio codec requires external libraries (only WAV PCM natively)")
+    fmt, channels, rate, bits = struct.unpack_from("<HHI", buf, 20)[0], \
+        struct.unpack_from("<H", buf, 22)[0], \
+        struct.unpack_from("<I", buf, 24)[0], \
+        struct.unpack_from("<H", buf, 34)[0]
+    if fmt != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV decodes natively")
+    n = struct.unpack_from("<I", buf, 40)[0]
+    samples = np.frombuffer(buf, dtype="<i2", count=n // 2, offset=44)
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
+    return samples, rate
+
+
+VIDEO_MAGIC = b"VID1"
+
+
+def encode_video(frames) -> bytes:
+    """List of (h, w, 3) uint8 frames -> length-prefixed PPM container."""
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        p = encode_ppm(f)
+        out.append(struct.pack("<I", len(p)))
+        out.append(p)
+    return b"".join(out)
+
+
+def decode_video(buf: bytes):
+    """Container bytes -> list of (h, w, 3) uint8 frames."""
+    if buf[:4] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            "video codec requires external libraries (only VID1/PPM natively)")
+    (n,) = struct.unpack_from("<I", buf, 4)
+    pos, frames = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        frames.append(decode_ppm(buf[pos:pos + ln]))
+        pos += ln
+    return frames
+
+
+def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resample (the lib-free resize)."""
+    ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic media (real bytes in the real formats)
+# ---------------------------------------------------------------------------
+
+def _synth_image(seed: int, w: int, h: int) -> np.ndarray:
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    r = (xx * (seed % 7 + 1) + yy) % 256
+    g = (yy * (seed % 5 + 1) + seed) % 256
+    b = (xx + yy + seed * 3) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _synth_media(seed: int):
+    kind = ("image", "audio", "video")[seed % 3]
+    if kind == "image":
+        w, h = 16 + seed % 48, 16 + seed % 32
+        img = _synth_image(seed, w, h)
+        return kind, "image/ppm", encode_ppm(img), w, h, 0
+    if kind == "audio":
+        n = 1600 + (seed % 10) * 160  # 100-190 ms at 16 kHz
+        t = np.arange(n, dtype=np.float64)
+        wave = (np.sin(t * (0.01 + (seed % 20) * 0.002)) * 12000).astype(np.int16)
+        return kind, "audio/wav", encode_wav(wave), 0, 0, n * 1000 // 16000
+    nf = 2 + seed % 5
+    frames = [_synth_image(seed + i, 16, 12) for i in range(nf)]
+    return kind, "video/vid1", encode_video(frames), 16, 12, nf * 40
+
+
+def synthesize_media_df(spark, n: int) -> DataFrame:
+    """Deterministic media table with REAL bytes: (id, media binary, meta)."""
+    rows = []
+    for i in range(n):
+        kind, codec, body, w, h, dur = _synth_media(i)
+        rows.append((i, bytearray(body), kind, codec, w, h, dur, len(body)))
+    df = spark.createDataFrame(
+        rows, "id long, media binary, media_type string, codec string,"
+              " width int, height int, duration_ms long, n_bytes long")
+    return df.select(
+        "id", "media",
+        F.struct("media_type", "codec", "width", "height", "duration_ms",
+                 "n_bytes").alias("meta"))
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def _decode_features(media: bytes, media_type: str) -> np.ndarray:
+    """REAL decode -> 8-dim feature: images give per-channel mean/std + dims;
+    audio gives RMS/zero-crossings/duration; video aggregates frame means."""
+    if media_type == "image":
+        img = decode_ppm(media).astype(np.float64)
+        if img.ndim == 2:
+            img = img[:, :, None].repeat(3, axis=2)
+        return np.array([img[..., 0].mean(), img[..., 1].mean(),
+                         img[..., 2].mean(), img.std(),
+                         img.shape[1], img.shape[0], 3.0, 0.0],
+                        dtype=np.float32)
+    if media_type == "audio":
+        s, rate = decode_wav(media)
+        sf = s.astype(np.float64)
+        zc = int((np.signbit(sf[1:]) != np.signbit(sf[:-1])).sum())
+        return np.array([np.sqrt((sf ** 2).mean()), zc, len(s) / rate,
+                         sf.max(), sf.min(), rate, 1.0, 0.0],
+                        dtype=np.float32)
+    frames = decode_video(media)
+    means = np.array([f.mean() for f in frames], dtype=np.float64)
+    return np.array([means.mean(), means.std(), len(frames),
+                     frames[0].shape[1], frames[0].shape[0],
+                     means.min(), means.max(), 0.0], dtype=np.float32)
 
 
 def extract_media_features(df: DataFrame, *, media: str = "media",
                            meta: str = "meta",
                            deterministic_fake: bool = True) -> DataFrame:
-    """mapInPandas feature extraction: Arrow batches of binary in, fixed-dim
-    float features out.  The batch loop mirrors how a real decoder would run
-    (one Python worker per task, one decode per row, vectorized post-proc)."""
+    """mapInPandas feature extraction over Arrow batches of binary media.
+    Decode is REAL for PPM/WAV/VID1; unsupported codecs mark ok=false (the
+    NotImplementedError seam where PIL/ffmpeg would plug in)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, oks = [], []
             for raw, mrow in zip(pdf[media], pdf[meta]):
                 try:
-                    f = _decode_stub(bytes(raw), mrow["media_type"],
-                                     deterministic_fake)
+                    f = _decode_features(bytes(raw), mrow["media_type"])
                     feats.append([float(x) for x in f])
                     oks.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, struct.error):
                     feats.append(None)
                     oks.append(False)
             yield pd.DataFrame({
@@ -94,10 +238,61 @@ def extract_media_features(df: DataFrame, *, media: str = "media",
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, width: int, height: int, *,
+                  media: str = "media", meta: str = "meta") -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode, over mapInPandas
+    batches; non-image rows pass through with resized=null."""
+    schema = "id long, resized binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw, mrow in zip(pdf[media], pdf[meta]):
+                if mrow["media_type"] != "image":
+                    out.append(None)
+                    continue
+                try:
+                    img = decode_ppm(bytes(raw))
+                    if img.ndim == 2:
+                        img = img[:, :, None].repeat(3, axis=2)
+                    out.append(bytearray(encode_ppm(
+                        resize_nearest(img, width, height))))
+                except NotImplementedError:
+                    out.append(None)
+            yield pd.DataFrame({"id": pdf["id"], "resized": out})
+
+    return df.mapInPandas(op, schema=schema)
+
+
+def sample_video_frames(df: DataFrame, every: int = 1, *,
+                        media: str = "media", meta: str = "meta") -> DataFrame:
+    """REAL frame sampling: decode the VID1 container and emit every k-th
+    frame as PPM bytes — one output row per sampled frame (the
+    partition-explosion shape of a real sampler)."""
+    schema = "id long, frame_idx int, frame binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, raw, mrow in zip(pdf["id"], pdf[media], pdf[meta]):
+                if mrow["media_type"] != "video":
+                    continue
+                try:
+                    for k, fr in enumerate(decode_video(bytes(raw))):
+                        if k % every == 0:
+                            ids.append(rid)
+                            idxs.append(k)
+                            frames.append(bytearray(encode_ppm(fr)))
+                except NotImplementedError:
+                    continue
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(op, schema=schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: explode per-frame timestamps from
-    duration metadata (real decode stubbed).  Output one row per frame tick —
-    the partition-explosion shape a real sampler produces."""
+    """Metadata-only frame-tick plan (no decode): explode per-frame
+    timestamps from duration metadata."""
     ticks = F.sequence(F.lit(0), F.greatest((F.col("meta.duration_ms") /
                                              every_ms).cast("long") - 1, F.lit(0)))
     return (df.where(F.col("meta.media_type") == "video")

@@ -210,3 +210,50 @@ def test_hex_tiles(spark):
     fine = tiles.assign_tiles(df, s2_levels=(), mercator_zooms=(),
                               hex_resolutions=(12,)).collect()
     assert all(r.hex_r12 is not None for r in fine)
+
+
+def test_multimodal_real_codecs(spark):
+    import numpy as np
+    from s2geography_spark.operators import multimodal as M
+    # PPM round-trip
+    img = M._synth_image(7, 20, 14)
+    assert (M.decode_ppm(M.encode_ppm(img)) == img).all()
+    # WAV round-trip
+    wave = (np.sin(np.arange(800) * 0.02) * 9000).astype(np.int16)
+    s, rate = M.decode_wav(M.encode_wav(wave, 16000))
+    assert rate == 16000 and (s == wave).all()
+    # video container round-trip
+    frames = [M._synth_image(i, 8, 6) for i in range(3)]
+    dec = M.decode_video(M.encode_video(frames))
+    assert len(dec) == 3 and all((a == b).all() for a, b in zip(dec, frames))
+    # unsupported codecs hit the seam
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        M.decode_ppm(b"\x89PNG....")
+    with _pt.raises(NotImplementedError):
+        M.decode_wav(b"ID3....mp3data")
+
+
+def test_multimodal_resize_and_frames(spark):
+    from s2geography_spark.operators import multimodal as M
+    media = synthesize_media_df(spark, 30).cache()
+    # resize: every image row becomes 8x8 PPM; non-images null
+    res = {r.id: r.resized for r in M.resize_images(media, 8, 8).collect()}
+    metas = {r.id: r.meta for r in media.collect()}
+    for i, m in metas.items():
+        if m.media_type == "image":
+            img = M.decode_ppm(bytes(res[i]))
+            assert img.shape == (8, 8, 3)
+        else:
+            assert res[i] is None
+    # real frame sampling: one row per frame, decodable frames
+    fr = M.sample_video_frames(media, every=1).collect()
+    n_expected = sum(2 + i % 5 for i in range(30) if i % 3 == 2)
+    assert len(fr) == n_expected
+    f0 = M.decode_ppm(bytes(fr[0].frame))
+    assert f0.shape == (12, 16, 3)
+    # feature extraction: image features carry true dimensions
+    feats = {r.id: r.feat for r in extract_media_features(media).collect()}
+    for i, m in metas.items():
+        if m.media_type == "image":
+            assert feats[i][4] == m.width and feats[i][5] == m.height

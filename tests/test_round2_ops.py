@@ -219,3 +219,24 @@ def test_coverage_union_agg_disjoint(spark):
          (1, to_wkb(from_wkt("POINT (2 2)")))], "g int, geog binary")
     rb = from_wkb(bytes(rebuild_agg(df2, "geog", ["g"]).collect()[0].geog_union))
     assert len(rb.points) == 2
+
+
+def test_rebuild_op(spark):
+    from s2geography_spark.core import build as B, ops
+    from s2geography_spark.core.geog import from_wkt, to_wkt
+    # duplicate adjacent vertices dropped, degenerate line removed,
+    # CW shell re-normalized CCW
+    g = from_wkt("GEOMETRYCOLLECTION ("
+                 "LINESTRING (0 0, 0 0, 1 1), LINESTRING (5 5, 5 5),"
+                 "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0)))")
+    r = B.s2_rebuild(g)
+    assert len(r.lines) == 1 and len(r.lines[0]) == 2
+    from s2geography_spark.core import sphere
+    assert sphere.ring_signed_area(
+        sphere.lnglat_to_xyz(r.polys[0][0])) > 0
+    # SQL surface
+    from s2geography_spark.functions.geo import register_sql_functions
+    register_sql_functions(spark)
+    row = spark.sql("SELECT st_astext(st_rebuild(st_geogfromtext("
+                    "'LINESTRING (0 0, 0 0, 1 1)'))) AS t").collect()[0]
+    assert row.t == "LINESTRING (0 0, 1 1)"
