@@ -1,0 +1,98 @@
+"""Property fuzz for the general boundary-algebra overlay: random
+integer-grid rectangles and triangles (integer coordinates force frequent
+shared edges, partial edge overlaps, vertex-on-edge and corner contacts —
+exactly the degenerate positions the round-1 tracer could not handle).
+
+Identities checked on every pair:
+  area(A ∩ B) + area(A − B) = area(A)
+  area(A ∪ B) = area(A) + area(B) − area(A ∩ B)
+plus containment spot checks of the outputs.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from s2geography_spark.core import build as B
+from s2geography_spark.core import ops
+from s2geography_spark.core.geog import Geog, from_wkt, to_wkt
+
+COORD = st.integers(min_value=0, max_value=6)
+
+
+def rect(x0, y0, w, h) -> Geog:
+    x1, y1 = x0 + w, y0 + h
+    return from_wkt(f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                    f"{x0} {y1}, {x0} {y0}))")
+
+
+def tri(x0, y0, w, h) -> Geog:
+    return from_wkt(f"POLYGON (({x0} {y0}, {x0 + w} {y0}, {x0} {y0 + h}, "
+                    f"{x0} {y0}))")
+
+
+shape_strategy = st.tuples(
+    st.sampled_from(["rect", "tri"]), COORD, COORD,
+    st.integers(min_value=1, max_value=4), st.integers(min_value=1, max_value=4))
+
+
+def mk(spec) -> Geog:
+    kind, x0, y0, w, h = spec
+    return rect(x0, y0, w, h) if kind == "rect" else tri(x0, y0, w, h)
+
+
+def area(g) -> float:
+    return 0.0 if g is None or g.is_empty() else ops.s2_area(g)
+
+
+@settings(max_examples=1000, deadline=None)
+@given(shape_strategy, shape_strategy)
+def test_overlay_area_identities(sa, sb):
+    a, b = mk(sa), mk(sb)
+    A, Bb = area(a), area(b)
+    inter = B.s2_intersection(a, b)
+    diff = B.s2_difference(a, b)
+    uni = B.s2_union(a, b)
+    I, D, U = area(inter), area(diff), area(uni)
+    scale = max(A, Bb, 1e-12)
+    assert abs((I + D) - A) / scale < 1e-7, \
+        (to_wkt(a, 5), to_wkt(b, 5), I, D, A)
+    assert abs(U - (A + Bb - I)) / scale < 1e-7, \
+        (to_wkt(a, 5), to_wkt(b, 5), U, A, Bb, I)
+
+
+@settings(max_examples=150, deadline=None)
+@given(shape_strategy, shape_strategy)
+def test_overlay_membership(sa, sb):
+    a, b = mk(sa), mk(sb)
+    inter = B.s2_intersection(a, b)
+    uni = B.s2_union(a, b)
+    # interior probe grid: points strictly inside cells of the integer grid
+    xs = np.arange(0.5, 11.0, 1.0)
+    pts = np.array([(x, y) for x in xs for y in xs])
+    from s2geography_spark.core import sphere
+    xyz = sphere.lnglat_to_xyz(pts)
+
+    def inside(g):
+        if g is None or g.is_empty():
+            return np.zeros(len(pts), dtype=bool)
+        ra, rb = g.ring_edges_xyz()
+        if len(ra) == 0:
+            return np.zeros(len(pts), dtype=bool)
+        return sphere.contains_points(xyz, ra, rb, model="semi_open")
+
+    in_a, in_b = inside(a), inside(b)
+    assert (inside(inter) == (in_a & in_b)).all(), (to_wkt(a, 5), to_wkt(b, 5))
+    assert (inside(uni) == (in_a | in_b)).all(), (to_wkt(a, 5), to_wkt(b, 5))
+    assert (inside(B.s2_difference(a, b)) == (in_a & ~in_b)).all(), \
+        (to_wkt(a, 5), to_wkt(b, 5))
+
+
+@settings(max_examples=100, deadline=None)
+@given(shape_strategy, shape_strategy)
+def test_symdifference_identity(sa, sb):
+    a, b = mk(sa), mk(sb)
+    sd = B.s2_sym_difference(a, b)
+    expect = area(a) + area(b) - 2.0 * area(B.s2_intersection(a, b))
+    scale = max(area(a), area(b), 1e-12)
+    assert abs(area(sd) - expect) / scale < 1e-7, (to_wkt(a, 5), to_wkt(b, 5))
