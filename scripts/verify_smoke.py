@@ -53,9 +53,22 @@ r = spark.sql("""
 """).collect()[0]
 print("touches(line-through-poly):", r.t1, r.t2, "(want False False)")
 
-# 4. sample driver queries at sf0.001 (the correctness-gate surface)
+# 4. round-2 surfaces: general overlay + buffer params + ZM via SQL
+r = spark.sql("""
+  SELECT st_astext(st_union(st_geogfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+                            st_geogfromtext('POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))'))) AS u,
+         st_astext(st_buffer_params(st_geogfromtext('LINESTRING (0 0, 1 0)'),
+                                    100000.0, 'endcap=flat')) AS bf,
+         st_astext(st_lineinterpolatepoint(st_geogfromtext(
+           'LINESTRING ZM (0 0 10 20, 0 2 12 22)'), 0.5)) AS zm
+""").collect()[0]
+print("adjacent union merged:", r.u.startswith("POLYGON ((") and "2 0" in r.u)
+print("flat buffer quad:", r.bf.count(",") == 4)
+print("zm interpolate:", r.zm)
+
+# 5. sample driver queries at sf0.001 (the correctness-gate surface)
 qs = E.queries()
-for name in ["geo_pip_pairs", "geo_knn", "dedup_exact"]:
+for name in ["geo_pip_pairs", "geo_knn", "geo_overlay_adjacent", "dedup_exact"]:
     out = qs[name](spark, "/root/testdata/sf0.001")
     print(name, "->", out.count(), "rows")
 spark.stop()
