@@ -183,7 +183,7 @@ def q_geo_distance_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_geo_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise region intersection AREAS via the general spherical overlay
-    (Weiler-Atherton, core/overlay.py) — oracled by the exact lat/lng-box
+    (boundary algebra, core/overlay.py) — oracled by the exact lat/lng-box
     spherical area formula R^2 * (sin(lat1)-sin(lat0)) * dlng_rad, bucketed
     to 1e10 m^2 (densified-edge polygons track true boxes to ~1e-5 rel)."""
     import numpy as np

@@ -58,31 +58,40 @@ def leaf_cell_udf(lng: pd.Series, lat: pd.Series) -> pd.Series:
     return out
 
 
-@pandas_udf(T.BooleanType())
-def contains_lnglat_udf(geog: pd.Series, lng: pd.Series, lat: pd.Series) -> pd.Series:
-    """Vectorized refine: polygon WKB (repeating) x point lng/lat.
+def _pip_refine_udf(model: str = "semi_open"):
+    """Vectorized refine factory: polygon WKB (repeating) x point lng/lat.
 
     Groups the Arrow batch by distinct polygon bytes, decodes each polygon
     once (scalar-prepare analog, sedona_udf_internal.h:849-867), then runs
-    one winding-number PIP over all points of that group."""
-    n = len(geog)
-    out = np.empty(n, dtype=object)
-    lngv = lng.to_numpy(dtype=np.float64)
-    latv = lat.to_numpy(dtype=np.float64)
-    xyz = np.stack(C.lnglat_to_xyz(np.nan_to_num(lngv), np.nan_to_num(latv)), axis=-1)
-    codes, uniques = pd.factorize(geog, use_na_sentinel=True)
-    for u, key in enumerate(uniques):
-        g = from_wkb(bytes(key))
-        ra, rb = g.ring_edges_xyz()
-        rows = np.where(codes == u)[0]
-        if len(ra) == 0:
-            out[rows] = False
-            continue
-        res = sphere.contains_points(xyz[rows], ra, rb, model="semi_open")
-        out[rows] = res.astype(object)
-    bad = geog.isna().to_numpy() | np.isnan(lngv) | np.isnan(latv)
-    out[bad] = None
-    return pd.Series(out, dtype=object)
+    one winding-number PIP over all points of that group.  model:
+    semi_open for contains, closed (boundary-inclusive) for intersects."""
+
+    @pandas_udf(T.BooleanType())
+    def pip_refine(geog: pd.Series, lng: pd.Series, lat: pd.Series) -> pd.Series:
+        n = len(geog)
+        out = np.empty(n, dtype=object)
+        lngv = lng.to_numpy(dtype=np.float64)
+        latv = lat.to_numpy(dtype=np.float64)
+        xyz = np.stack(C.lnglat_to_xyz(np.nan_to_num(lngv),
+                                       np.nan_to_num(latv)), axis=-1)
+        codes, uniques = pd.factorize(geog, use_na_sentinel=True)
+        for u, key in enumerate(uniques):
+            g = from_wkb(bytes(key))
+            ra, rb = g.ring_edges_xyz()
+            rows = np.where(codes == u)[0]
+            if len(ra) == 0:
+                out[rows] = False
+                continue
+            res = sphere.contains_points(xyz[rows], ra, rb, model=model)
+            out[rows] = res.astype(object)
+        bad = geog.isna().to_numpy() | np.isnan(lngv) | np.isnan(latv)
+        out[bad] = None
+        return pd.Series(out, dtype=object)
+
+    return pip_refine
+
+
+contains_lnglat_udf = _pip_refine_udf("semi_open")
 
 
 # per-worker prepared-region cache, keyed by a UUID minted in
@@ -353,7 +362,8 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                  broadcast: bool = True,
                  salt: Optional[int] = None,
                  level: Optional[int] = None,
-                 leaf_col: Optional[str] = None) -> DataFrame:
+                 leaf_col: Optional[str] = None,
+                 refine_mode: str = "rows") -> DataFrame:
     """Join each point row to every region whose polygon satisfies
     `predicate` (contains/intersects) — the engine's flagship operator.
 
@@ -437,11 +447,46 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                                     F.col(lat), F.col("_full")))
         return refined.drop("_leaf", "_ck", "_full")
 
-    # shuffle path (large, non-broadcastable dim): WKB travels with rows;
-    # hot-cell skew handled by salting (plus AQE skew-join at runtime)
-    exploded = regions.withColumn("cell_id", F.explode(covering_col)) \
-        .drop(covering_col) \
-        .withColumn("_ck", cell_join_key(F.col("cell_id"))).drop("cell_id")
+    # shuffle path (large, non-broadcastable dim).  Two refine modes:
+    #
+    # rows (default): the exploded dim carries its WKB through the
+    #   candidate equi-join; the refine UDF pulls (geog, lng, lat) through
+    #   Arrow per candidate row and amortizes decode per distinct WKB per
+    #   batch.  ONE fact-side shuffle — measured ~4x faster here than the
+    #   cogroup mode for KB-sized polygons.
+    # cogroup: candidates pair on ids only, then cogroup with the dim by
+    #   region id so each geography crosses the Arrow boundary once per
+    #   group.  Costs a SECOND fact-side shuffle — the right trade only
+    #   when the dim's geographies are much larger than the fact rows
+    #   (multi-MB coastline polygons), where per-candidate WKB transfer
+    #   would dominate the exchange.
+    #
+    # Hot-cell skew on the join is salted (plus AQE skew-join); the
+    # cogroup mode reuses the salt to split hot-region groups.
+    if refine_mode == "rows":
+        exploded = regions.withColumn("cell_id", F.explode(covering_col)) \
+            .drop(covering_col) \
+            .withColumn("_ck", cell_join_key(F.col("cell_id"))).drop("cell_id")
+        if salt:
+            nsalt = int(salt)
+            pts = pts.withColumn("_salt", F.pmod(F.hash(F.col(lng), F.col(lat)),
+                                                 F.lit(nsalt)))
+            exploded = exploded.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
+            join_keys = ["_ck", "_salt"]
+        else:
+            join_keys = ["_ck"]
+        cand = pts.join(exploded, join_keys, "inner")
+        model = "semi_open" if predicate == "contains" else "closed"
+        refined = cand.where(_pip_refine_udf(model)(
+            F.col(region_geog), F.col(lng), F.col(lat)))
+        drop_cols = ["_leaf", "_ck"] + (["_salt"] if salt else [])
+        return refined.drop(*drop_cols)
+
+    exploded = (regions
+                .select(region_id, F.explode(covering_col).alias("_cell"))
+                .withColumn("_ck", cell_join_key(F.col("_cell")))
+                .drop("_cell"))
     if salt:
         nsalt = int(salt)
         pts = pts.withColumn("_salt", F.pmod(F.hash(F.col(lng), F.col(lat)),
@@ -451,18 +496,53 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         join_keys = ["_ck", "_salt"]
     else:
         join_keys = ["_ck"]
-    cand = pts.join(exploded, join_keys, "inner")
-    refined = cand.where(
-        contains_lnglat_udf(F.col(region_geog), F.col(lng), F.col(lat))
-        if predicate == "contains"
-        else _intersects_refine(region_geog, lng, lat))
-    drop_cols = ["_leaf", "_ck"] + (["_salt"] if salt else [])
-    return refined.drop(*drop_cols)
+    cand = (pts.join(exploded, join_keys, "inner")
+            .drop("_leaf", "_ck", *(["_salt"] if salt else [])))
 
+    nsplit = int(salt) if salt else 1
+    group_keys = [region_id]
+    # dim side of the cogroup uses RENAMED keys: both sides descend from
+    # `regions`, and identical attribute lineage trips the ambiguous-
+    # self-join analyzer check (cogroup matches grouping keys by position)
+    reg_geo = regions.select(F.col(region_id).alias("_rid_g"), region_geog)
+    right_keys = ["_rid_g"]
+    if nsplit > 1:
+        cand = cand.withColumn("_rs", F.pmod(F.hash(F.col(lng), F.col(lat)),
+                                             F.lit(nsplit)))
+        group_keys = [region_id, "_rs"]
+        reg_geo = reg_geo.withColumn(
+            "_rs_g", F.explode(F.sequence(F.lit(0), F.lit(nsplit - 1))))
+        right_keys = ["_rid_g", "_rs_g"]
 
-def _intersects_refine(region_geog, lng, lat):
-    from ..functions.geo import st_intersects, _point_wkb_udf
-    return st_intersects(F.col(region_geog), _point_wkb_udf(F.col(lng), F.col(lat)))
+    out_schema = cand.drop("_rs").schema if nsplit > 1 else cand.schema
+    out_cols = [f.name for f in out_schema.fields]
+    model = "semi_open" if predicate == "contains" else "closed"
+
+    def refine_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return left.iloc[0:0][out_cols]  # typed empty frame
+        g = from_wkb(bytes(right.iloc[0, right.columns.get_loc(region_geog)]))
+        ra, rb = g.ring_edges_xyz()
+        if len(ra) == 0:
+            keep = np.zeros(len(left), dtype=bool)
+        else:
+            xyz = np.stack(C.lnglat_to_xyz(
+                left[lng].to_numpy(dtype=np.float64),
+                left[lat].to_numpy(dtype=np.float64)), axis=-1)
+            keep = sphere.contains_points(xyz, ra, rb, model=model)
+        return left.loc[keep, out_cols]
+
+    refined = (cand.groupBy(*group_keys)
+               .cogroup(reg_geo.groupBy(*right_keys))
+               .applyInPandas(refine_fn, out_schema))
+    # re-attach the dim's remaining attributes (small projection join);
+    # renamed key avoids the self-join ambiguity with the dim lineage
+    rest = regions.drop(covering_col, region_geog) \
+        .withColumnRenamed(region_id, "_rid_rest")
+    if len(rest.columns) > 1:
+        refined = refined.join(
+            rest, refined[region_id] == rest["_rid_rest"]).drop("_rid_rest")
+    return refined
 
 
 # ---------------------------------------------------------------------------

@@ -130,8 +130,8 @@ def test_large_dim_falls_back_to_shuffle_path(spark, monkeypatch):
         [(0, 10.5, 10.5), (1, -170.0, -70.0)], "pid long, lng double, lat double")
     out = sj.spatial_join(pts, regions, predicate="contains", broadcast=True)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # shuffle-path refine kernel, not the broadcast-dim refine
-    assert "contains_lnglat" in plan
+    # shuffle-path per-row refine kernel, not the broadcast-dim refine
+    assert "pip_refine" in plan
     assert out.count() >= 0  # executes
 
     with pytest.raises(ValueError, match="too large"):

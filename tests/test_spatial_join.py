@@ -169,3 +169,15 @@ def test_knn_covering_matches_brute_force(spark, mentions):
     exp = {(r.pid, r.knn_rank): r.region_id
            for r in slow.select("pid", "knn_rank", "region_id").collect()}
     assert got == exp
+
+
+def test_spatial_join_shuffle_cogroup_matches(spark, mentions):
+    """cogroup refine mode (for very fat dims): same result, WKB crosses
+    Arrow once per region group."""
+    regions = regions_df(spark, 24)
+    joined = spatial_join(mentions.limit(500), regions, predicate="contains",
+                          broadcast=False, salt=4, refine_mode="cogroup")
+    got = {(r.url, r.mention_idx, r.region_id)
+           for r in joined.select("url", "mention_idx", "region_id").collect()}
+    expected = brute_force_pairs(mentions.limit(500).collect(), 24)
+    assert got == expected
