@@ -95,8 +95,11 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_id",
         _point_wkb_udf((F.col("lng0") + F.col("lng1")) / 2.0,
                        (F.col("lat0") + F.col("lat1")) / 2.0).alias("geog"))
+    # 5,000 km initial radius: most points resolve in round 1 while the
+    # radius-doubling pruning still excludes the far hemisphere (a larger
+    # radius would degenerate toward the dense join)
     res = knn_join_covering(pts, centers, k=3, point_id="c_custkey",
-                            init_radius_m=3_000_000.0)
+                            init_radius_m=5_000_000.0)
     return res.select("c_custkey", "knn_rank", "region_id")
 
 
