@@ -31,13 +31,26 @@ def tri(x0, y0, w, h) -> Geog:
                     f"{x0} {y0}))")
 
 
+def donut(x0, y0, w, h) -> Geog:
+    """Rectangle with a centered rectangular hole (integer-grid hole corners
+    when w/h are even — shared hole edges happen too)."""
+    x1, y1 = x0 + w, y0 + h
+    hx0, hy0 = x0 + w / 2 - w / 4, y0 + h / 2 - h / 4
+    hx1, hy1 = x0 + w / 2 + w / 4, y0 + h / 2 + h / 4
+    return from_wkt(
+        f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}), "
+        f"({hx0} {hy0}, {hx0} {hy1}, {hx1} {hy1}, {hx1} {hy0}, {hx0} {hy0}))")
+
+
 shape_strategy = st.tuples(
-    st.sampled_from(["rect", "tri"]), COORD, COORD,
+    st.sampled_from(["rect", "tri", "donut"]), COORD, COORD,
     st.integers(min_value=1, max_value=4), st.integers(min_value=1, max_value=4))
 
 
 def mk(spec) -> Geog:
     kind, x0, y0, w, h = spec
+    if kind == "donut":
+        return donut(x0, y0, max(w, 2), max(h, 2))
     return rect(x0, y0, w, h) if kind == "rect" else tri(x0, y0, w, h)
 
 
@@ -67,8 +80,10 @@ def test_overlay_membership(sa, sb):
     a, b = mk(sa), mk(sb)
     inter = B.s2_intersection(a, b)
     uni = B.s2_union(a, b)
-    # interior probe grid: points strictly inside cells of the integer grid
-    xs = np.arange(0.5, 11.0, 1.0)
+    # interior probe grid: offset 0.123 keeps probes off every boundary the
+    # shapes can produce (integer edges, and donut hole corners at .25/.5/
+    # .75 offsets); 0.5 spacing still samples inside hole rings
+    xs = np.arange(0.123, 11.0, 0.5)
     pts = np.array([(x, y) for x in xs for y in xs])
     from s2geography_spark.core import sphere
     xyz = sphere.lnglat_to_xyz(pts)
