@@ -274,3 +274,22 @@ def test_collinear_partial_line_overlap():
     uni = B.s2_union(a, b)
     assert ops.s2_length(uni) == pytest.approx(
         ops.s2_length(from_wkt("LINESTRING (0 0, 15 0)")), rel=1e-9)
+
+
+def test_overlay_across_antimeridian():
+    """Overlay of polygons straddling lng=180: xyz-space algebra is
+    projection-free, so crossing the antimeridian is not special."""
+    a = from_wkt("POLYGON ((179 0, -179 0, -179 2, 179 2, 179 0))")
+    b = from_wkt("POLYGON ((179.5 1, -179.5 1, -179.5 3, 179.5 3, 179.5 1))")
+    i = B.s2_intersection(a, b)
+    u = B.s2_union(a, b)
+    box = ops.s2_area(from_wkt("POLYGON ((0 1, 1 1, 1 2, 0 2, 0 1))"))
+    assert ops.s2_area(i) == pytest.approx(box, rel=1e-3)
+    assert ops.s2_area(u) == pytest.approx(
+        ops.s2_area(a) + ops.s2_area(b) - ops.s2_area(i), rel=1e-12)
+    # shared-edge adjacency across the antimeridian merges to one ring
+    adj = from_wkt("POLYGON ((-179 0, -178 0, -178 2, -179 2, -179 0))")
+    m = B.s2_union(a, adj)
+    assert len(m.polys) == 1 and len(m.polys[0]) == 1
+    assert ops.s2_area(m) == pytest.approx(
+        ops.s2_area(a) + ops.s2_area(adj), rel=1e-9)
