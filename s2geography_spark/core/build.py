@@ -28,7 +28,8 @@ import numpy as np
 
 from . import sphere
 from .geog import Geog
-from .ops import EPS_RAD, s2_contains, s2_distance_radians
+from .ops import (EPS_RAD, s2_contains, s2_distance_radians,
+                  s2_find_validation_error)
 
 EARTH_RADIUS_METERS = sphere.EARTH_RADIUS_METERS
 
@@ -700,15 +701,42 @@ def s2_difference(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
 
 
 def s2_unary_union(g: Optional[Geog]) -> Optional[Geog]:
-    """Union of all parts of one geography (build.cc:157-257 analog for
-    valid inputs): folds the general union over polygon parts; points and
-    lines are deduplicated/concatenated."""
+    """Union of all parts of one geography (build.cc:157-257).
+
+    Valid polygon parts fold through the general union.  INVALID polygons
+    (loops crossing each other) are repaired per the reference: every loop
+    stands alone and folds into the accumulator in INPUT ORDER by
+    nesting-depth parity — depth-even loops union in, depth-odd loops
+    difference out (build.cc:200-215: 'use original nesting to suggest').
+    The decode-time ring orientation encodes that parity (CCW=even,
+    CW=odd); loops that CROSS another loop can't be anyone's hole, so they
+    force union (the overlap dissolves)."""
     if g is None:
         return None
+    invalid = bool(g.polys) and s2_find_validation_error(g) is not None
     acc: Optional[Geog] = None
-    for rings in g.polys:
-        part = Geog(polys=[[r.copy() for r in rings]])
-        acc = part if acc is None else s2_union(acc, part)
+    if invalid:
+        flat = [np.asarray(r, dtype=np.float64)
+                for rings in g.polys for r in rings if len(r) >= 4]
+        xyz = [sphere.lnglat_to_xyz(r[:, :2]) for r in flat]
+        crossed = [False] * len(flat)
+        for i in range(len(flat)):
+            for j in range(i + 1, len(flat)):
+                if sphere.arcs_cross(
+                        xyz[i][:-1, None, :], xyz[i][1:, None, :],
+                        xyz[j][None, :-1, :], xyz[j][None, 1:, :]).any():
+                    crossed[i] = crossed[j] = True
+        acc = Geog(typ=3)
+        for r, v, cr in zip(flat, xyz, crossed):
+            area = sphere.ring_signed_area(v)
+            even = cr or area >= 0
+            shell = r if area >= 0 else r[::-1].copy()
+            part = Geog(polys=[[shell]])
+            acc = s2_union(acc, part) if even else s2_difference(acc, part)
+    else:
+        for rings in g.polys:
+            part = Geog(polys=[[r.copy() for r in rings]])
+            acc = part if acc is None else s2_union(acc, part)
     pts = np.unique(g.points, axis=0) if len(g.points) else None
     out = Geog(points=pts, lines=[l.copy() for l in g.lines],
                polys=acc.polys if acc is not None else [], typ=g.typ)

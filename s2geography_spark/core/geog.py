@@ -215,13 +215,41 @@ def _upgrade_zm(g: Geog, has_z: bool, has_m: bool):
 # ring orientation normalization
 # ---------------------------------------------------------------------------
 
+def _ring_contains_ring(container: np.ndarray, inner: np.ndarray) -> bool:
+    """Ring-contains-ring by a representative inner vertex clearly off the
+    container's boundary (rings of a valid polygon never cross, so one
+    interior vertex decides; shared-boundary vertices are skipped)."""
+    cv = sphere.lnglat_to_xyz(np.asarray(container, dtype=np.float64)[:, :2])
+    ca, cb = cv[:-1], cv[1:]
+    iv = sphere.lnglat_to_xyz(np.asarray(inner, dtype=np.float64)[:-1, :2])
+    d = sphere.point_arc_distance(iv[:, None, :], ca[None, :, :],
+                                  cb[None, :, :]).min(axis=1)
+    off = np.where(d > 1e-11)[0]
+    if len(off) == 0:
+        return False  # every vertex on the boundary (identical rings)
+    w = sphere.winding_number(iv[off[:1]], ca, cb)
+    return bool(abs(int(w[0])) > 0)
+
+
 def _normalize_rings(rings: List[np.ndarray]) -> List[np.ndarray]:
+    """Orient rings by NESTING-DEPTH parity (S2Polygon InitNested
+    semantics): depth-even rings CCW (area-adding), depth-odd CW (holes).
+    For the common SF shapes this is first=CCW rest=CW, but multi-depth
+    nesting (island inside a hole — valid in the reference's model) keeps
+    correct winding so PIP and signed area stay exact."""
+    rs = [np.asarray(r, dtype=np.float64) for r in rings]
+    real = [k for k, r in enumerate(rs) if len(r) >= 4]
+    depths = {k: 0 for k in real}
+    if len(real) > 1:
+        for i in real:
+            for j in real:
+                if i != j and _ring_contains_ring(rs[j], rs[i]):
+                    depths[i] += 1
     out = []
-    for k, r in enumerate(rings):
-        r = np.asarray(r, dtype=np.float64)
+    for k, r in enumerate(rs):
         if len(r) >= 4:
-            area = sphere.ring_signed_area(sphere.lnglat_to_xyz(r))
-            want_ccw = (k == 0)
+            area = sphere.ring_signed_area(sphere.lnglat_to_xyz(r[:, :2]))
+            want_ccw = (depths.get(k, 0) % 2 == 0)
             if (area < 0) == want_ccw:
                 r = r[::-1].copy()
         out.append(r)

@@ -718,6 +718,15 @@ def s2_find_validation_error(g: Optional[Geog]) -> Optional[str]:
                       (np.abs(idx[:, None] - idx[None, :]) == n - 1)
                 if (cr & ~adj).any():
                     return "ring self-intersection"
+        # rings of one polygon must not cross each other (S2 loop validity)
+        valid_rings = [r for r in rings if len(r) >= 4]
+        for i in range(len(valid_rings)):
+            vi = sphere.lnglat_to_xyz(valid_rings[i])
+            for j in range(i + 1, len(valid_rings)):
+                vj = sphere.lnglat_to_xyz(valid_rings[j])
+                if sphere.arcs_cross(vi[:-1, None, :], vi[1:, None, :],
+                                     vj[None, :-1, :], vj[None, 1:, :]).any():
+                    return "polygon rings cross"
     return None
 
 

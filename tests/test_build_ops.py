@@ -254,3 +254,34 @@ def test_line_line_and_point_line_intersection():
                                  from_wkt("LINESTRING (0 0, 0 1)")).points) == 1
     assert B.s2_intersection(from_wkt("POINT (0.01 0.5)"),
                              from_wkt("LINESTRING (0 0, 0 1)")).is_empty()
+
+
+def test_unary_union_invalid_polygon_repair():
+    """build.cc:157-257: invalid polygons (loops crossing) repair by
+    loop-parity fold — overlapping sibling loops dissolve into their union."""
+    g = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                 "(2 2, 6 2, 6 6, 2 6, 2 2))")
+    assert ops.s2_find_validation_error(g) == "polygon rings cross"
+    u = B.s2_unary_union(g)
+    a = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    b = from_wkt("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+    exp = ops.s2_area(a) + ops.s2_area(b) - ops.s2_area(B.s2_intersection(a, b))
+    assert ops.s2_area(u) == pytest.approx(exp, rel=1e-9)
+    assert ops.s2_find_validation_error(u) is None
+
+
+def test_multi_depth_ring_nesting():
+    """Island-inside-hole (valid in the reference's S2Polygon model):
+    decode-time depth-parity orientation keeps winding PIP and signed area
+    exact at every nesting depth."""
+    g = from_wkt("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), "
+                 "(2 2, 6 2, 6 6, 2 6, 2 2), (3 3, 5 3, 5 5, 3 5, 3 3))")
+    assert ops.s2_find_validation_error(g) is None
+    sq = lambda w: ops.s2_area(from_wkt(w))  # noqa: E731
+    exp = sq("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))") \
+        - sq("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))") \
+        + sq("POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))")
+    assert ops.s2_area(g) == pytest.approx(exp, rel=1e-9)
+    assert ops.s2_contains(g, from_wkt("POINT (4 4)")) is True      # island
+    assert ops.s2_contains(g, from_wkt("POINT (2.5 2.5)")) is False  # hole
+    assert ops.s2_contains(g, from_wkt("POINT (1 1)")) is True       # shell
