@@ -619,8 +619,16 @@ def from_wkt(text: Optional[str]) -> Optional[Geog]:
 
 
 def _fmt(x: float, precision: int) -> str:
-    s = f"{x:.{precision}g}"
-    return s
+    """Fixed decimals, trailing zeros trimmed (the reference WKTWriter's
+    precision semantics: writer(6) prints 3.333333, wkt-writer_test.cc:8-20).
+    At the default 16 the shortest round-trip repr wins when it is shorter
+    (the engine stores lnglat exactly, so inputs echo back verbatim)."""
+    s = f"{x:.{precision}f}".rstrip("0").rstrip(".")
+    if precision >= 16:
+        r = repr(float(x))
+        if len(r) <= len(s) and "e" not in r and "E" not in r:
+            s = r.rstrip("0").rstrip(".") if "." in r else r
+    return "0" if s in ("", "-0") else s
 
 
 def _fmt_seq(arr, precision):

@@ -201,3 +201,22 @@ def test_planar_import_sql(spark):
         "SELECT st_npoints(st_geogfromwkb(st_geogfromtext("
         "'LINESTRING (0 60, 30 60)'), false, true)) AS n").collect()[0]
     assert r.n > 10
+
+
+# -- WKT writer precision goldens (wkt-writer_test.cc:8-40) ------------------
+
+def test_wkt_writer_precision_semantics():
+    g = from_wkt("POINT (0 3.333333333333334)")
+    # default 16 decimals: the engine stores lnglat exactly (no xyz
+    # roundtrip), so the input value itself round-trips
+    assert to_wkt(g) == "POINT (0 3.333333333333334)"
+    assert to_wkt(g, 6) == "POINT (0 3.333333)"
+    assert to_wkt(from_wkt("POINT (10 3.5)"), 2) == "POINT (10 3.5)"
+
+
+@pytest.mark.parametrize("wkt", [
+    "POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY", "MULTIPOINT EMPTY",
+    "MULTILINESTRING EMPTY", "MULTIPOLYGON EMPTY", "GEOMETRYCOLLECTION EMPTY",
+])
+def test_wkt_empty_roundtrip(wkt):
+    assert to_wkt(from_wkt(wkt), 2) == wkt
