@@ -240,3 +240,33 @@ def test_rebuild_op(spark):
     row = spark.sql("SELECT st_astext(st_rebuild(st_geogfromtext("
                     "'LINESTRING (0 0, 0 0, 1 1)'))) AS t").collect()[0]
     assert row.t == "LINESTRING (0 0, 1 1)"
+
+
+def test_bucketed_dedup_join_no_exchange(spark, tmp_path):
+    """The documented 100 TB pattern (operators/dedup.py): bucket the corpus
+    by digest so dedup reruns join WITHOUT a shuffle.  Verified at the plan
+    level: the bucketed self-join has no Exchange on either side."""
+    from pyspark.sql import functions as F
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.pmod(F.col("id"), F.lit(500)).cast("string")).alias("digest"))
+    import shutil
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+    shutil.rmtree("spark-warehouse/docs_bucketed", ignore_errors=True)
+    (docs.write.bucketBy(8, "digest").sortBy("digest")
+     .mode("overwrite").saveAsTable("docs_bucketed"))
+    t = spark.table("docs_bucketed")
+    keep = t.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        # force the non-broadcast join shape a 100 TB corpus would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = t.join(keep, "digest")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucketed scans supply the hash partitioning: NO shuffle anywhere
+        assert "ShuffleExchange" not in plan and             "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS docs_bucketed")
