@@ -17,7 +17,10 @@ from s2geography_spark.core import build as B
 from s2geography_spark.core import ops
 from s2geography_spark.core.geog import Geog, from_wkt, to_wkt
 
-COORD = st.integers(min_value=0, max_value=6)
+# negative lngs and a high-latitude band join the mix: geodesic edge bulge
+# is strongest near the poles, and sign handling differs west of Greenwich
+COORD = st.integers(min_value=-4, max_value=6)
+LAT0 = st.sampled_from([-62, -3, 0, 2, 58])
 
 
 def rect(x0, y0, w, h) -> Geog:
@@ -44,11 +47,13 @@ def donut(x0, y0, w, h) -> Geog:
 
 shape_strategy = st.tuples(
     st.sampled_from(["rect", "tri", "donut"]), COORD, COORD,
-    st.integers(min_value=1, max_value=4), st.integers(min_value=1, max_value=4))
+    st.integers(min_value=1, max_value=4), st.integers(min_value=1, max_value=4),
+    LAT0)
 
 
 def mk(spec) -> Geog:
-    kind, x0, y0, w, h = spec
+    kind, x0, y0, w, h, lat0 = spec
+    y0 = y0 + lat0
     if kind == "donut":
         return donut(x0, y0, max(w, 2), max(h, 2))
     return rect(x0, y0, w, h) if kind == "rect" else tri(x0, y0, w, h)
@@ -83,8 +88,9 @@ def test_overlay_membership(sa, sb):
     # interior probe grid: offset 0.123 keeps probes off every boundary the
     # shapes can produce (integer edges, and donut hole corners at .25/.5/
     # .75 offsets); 0.5 spacing still samples inside hole rings
-    xs = np.arange(0.123, 11.0, 0.5)
-    pts = np.array([(x, y) for x in xs for y in xs])
+    xs = np.arange(-4.377, 11.0, 0.5)
+    ys = np.concatenate([xs + b for b in (-62.0, -3.0, 0.0, 2.0, 58.0)])
+    pts = np.array([(x, y) for x in xs for y in np.unique(ys)])
     from s2geography_spark.core import sphere
     xyz = sphere.lnglat_to_xyz(pts)
 
