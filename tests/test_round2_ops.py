@@ -270,3 +270,31 @@ def test_bucketed_dedup_join_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS docs_bucketed")
+
+
+def test_partitioned_scan_prunes(spark, tmp_path):
+    """SURVEY §2.9 ingest shape: pages partitioned by day prune at the scan
+    (PartitionFilters in the FileScan, only matching partitions read)."""
+    from pyspark.sql import functions as F
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.pmod(F.col("id"), F.lit(10)).cast("int")).alias("day"))
+    path = str(tmp_path / "pages_by_day")
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+    q = spark.read.parquet(path).where(F.col("day") == "2024-01-03")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert q.count() == 100
+
+
+def test_from_wkb_garbage_raises_cleanly():
+    import pytest as _pt
+    from s2geography_spark.core.geog import from_wkb
+    for junk in (b"", b"\x00", b"\x01\x63\x00\x00\x00", b"not wkb at all",
+                 b"\x01\x01\x00\x00\x00\x01\x02"):
+        with _pt.raises((ValueError, Exception)):
+            g = from_wkb(junk)
+            # a short point buffer may parse-with-truncation; force use
+            _ = g.points_xyz() if g is not None else None
+            raise ValueError("accepted garbage silently")
