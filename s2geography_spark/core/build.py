@@ -776,8 +776,18 @@ def s2_sym_difference(g1: Optional[Geog], g2: Optional[Geog]) -> Optional[Geog]:
 
 
 def _concat(g1: Geog, g2: Geog) -> Geog:
-    pts = [p for p in (g1.points, g2.points) if len(p)]
+    """Concatenate parts (the disjoint regurgitation fast path); mixed Z/M
+    widths merge with NaN padding (the reference's output dimension
+    negotiation, sedona_udf_internal.h:449-461)."""
+    from .geog import _widen_coords
+    zm = (g1.zm[0] or g2.zm[0], g1.zm[1] or g2.zm[1])
+
+    def w(arr, src_zm):
+        return _widen_coords(np.asarray(arr, dtype=np.float64), src_zm, zm)
+
+    pts = [w(g.points, g.zm) for g in (g1, g2) if len(g.points)]
     return Geog(points=np.vstack(pts) if pts else None,
-                lines=[l.copy() for l in g1.lines + g2.lines],
-                polys=[[r.copy() for r in rings]
-                       for rings in g1.polys + g2.polys])
+                lines=[w(l, g.zm) for g in (g1, g2) for l in g.lines],
+                polys=[[w(r, g.zm) for r in rings]
+                       for g in (g1, g2) for rings in g.polys],
+                zm=zm)

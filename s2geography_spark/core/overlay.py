@@ -685,10 +685,10 @@ def overlay(gA: Geog, gB: Geog, op: str) -> Geog:
             contact_xyz += cp
         if len(gA.points):
             keep = _points_intersect_mask(gA.points, gB)
-            pts_rows += [p for p in gA.points[keep]]
+            pts_rows += [p[:2] for p in gA.points[keep]]
         if len(gB.points):
             keep = _points_intersect_mask(gB.points, gA)
-            pts_rows += [p for p in gB.points[keep]]
+            pts_rows += [p[:2] for p in gB.points[keep]]
 
     elif op == "union":
         if apolys and bpolys:
@@ -701,7 +701,8 @@ def overlay(gA: Geog, gB: Geog, op: str) -> Geog:
             out_lines, _ = _line_line(alines, blines, "union")
         else:
             out_lines = [l.copy() for l in alines + blines]
-        pts_rows = [p for p in gA.points] + [p for p in gB.points]
+        # computed overlay output is XY (build.cc:1283-1286)
+        pts_rows = [p[:2] for p in gA.points] + [p[:2] for p in gB.points]
 
     elif op == "difference":
         if apolys:
@@ -719,7 +720,7 @@ def overlay(gA: Geog, gB: Geog, op: str) -> Geog:
         out_lines = cur_lines
         if len(gA.points):
             keep = ~_points_intersect_mask(gA.points, gB)
-            pts_rows = [p for p in gA.points[keep]]
+            pts_rows = [p[:2] for p in gA.points[keep]]
     else:
         raise ValueError(f"unknown overlay op {op!r}")
 

@@ -220,3 +220,19 @@ def test_wkt_writer_precision_semantics():
 ])
 def test_wkt_empty_roundtrip(wkt):
     assert to_wkt(from_wkt(wkt), 2) == wkt
+
+
+def test_mixed_zm_union_concat_pads():
+    """Disjoint union of mixed-dimension inputs pads missing Z/M with NaN
+    (the reference's output dimension negotiation) instead of crashing."""
+    from s2geography_spark.core import build as B
+    u = B.s2_union(from_wkt("POINT Z (0 0 5)"), from_wkt("POINT (90 0)"))
+    assert u.zm == (True, False) and len(u.points) == 2
+    assert to_wkt(u, 6) == "MULTIPOINT Z ((0 0 5), (90 0 nan))"
+    gc = B.s2_union(from_wkt("POINT Z (0 0 5)"),
+                    from_wkt("LINESTRING (50 0, 51 0)"))
+    assert gc.zm == (True, False)
+    # computed overlays emit XY (build.cc:1283-1286)
+    d = B.s2_difference(from_wkt("MULTIPOINT Z ((0 0 5), (3 3 6))"),
+                        from_wkt("POINT (0 0)"))
+    assert to_wkt(d, 6) == "POINT (3 3)"
