@@ -102,9 +102,14 @@ def _gc_intersection(a0, a1, b0, b1):
     can land anywhere on the sphere (observed: the antipode).  Both sign
     candidates are validated against both arcs; garbage is rejected (None)
     rather than injected as a bogus node."""
-    p = np.cross(np.cross(a0, a1), np.cross(b0, b1))
+    n1 = np.cross(a0, a1)
+    n2 = np.cross(b0, b1)
+    p = np.cross(n1, n2)
     nn = np.linalg.norm(p)
-    if nn == 0:
+    # near-collinear arcs (same great circle): the 'crossing' arcs_cross
+    # reported is sign noise on ~1e-17 determinants — there is no single
+    # crossing point (shared runs are handled by vertex-on-edge events)
+    if nn < 1e-9 * np.linalg.norm(n1) * np.linalg.norm(n2) or nn == 0:
         return None
     p = p / nn
 
@@ -140,9 +145,51 @@ def _chain_edges(cycles, closed):
     return np.zeros((0, 3)), np.zeros((0, 3)), offs
 
 
+def _vertex_events(ev, a0, a1, b_verts):
+    """Add b vertices strictly interior to a edges into ev (symmetric by
+    nature: the node IS b's own vertex, so b's atomization has it too)."""
+    if len(b_verts) == 0 or len(a0) == 0:
+        return
+    d = sphere.point_arc_distance(b_verts[:, None, :],
+                                  a0[None, :, :], a1[None, :, :])
+    for vi, i in zip(*np.where(d < EPS)):
+        v = b_verts[vi]
+        la = float(sphere.angle(a0[i], v))
+        lb = float(sphere.angle(v, a1[i]))
+        lab = float(sphere.angle(a0[i], a1[i]))
+        if la > EPS and lb > EPS and lab > 0:
+            ev.setdefault(int(i), []).append((la / lab, v))
+
+
+def _cross_events(ev_a, ev_b, a0, a1, b0, b1):
+    """Register proper crossings into BOTH sides' event maps with the SAME
+    point object — both atomizations then share the node, which the
+    classifier's shared-ends gate depends on (a one-sided event would make
+    a shared run look like a grazing crossing)."""
+    if len(a0) == 0 or len(b0) == 0:
+        return
+    cr = sphere.arcs_cross(a0[:, None, :], a1[:, None, :],
+                           b0[None, :, :], b1[None, :, :])
+    crt = sphere.arcs_cross(b0[:, None, :], b1[:, None, :],
+                            a0[None, :, :], a1[None, :, :])
+    for i, j in zip(*np.where(cr | crt.T)):
+        p = _gc_intersection(a0[i], a1[i], b0[j], b1[j])
+        if p is None:
+            continue
+        lab = float(sphere.angle(a0[i], a1[i]))
+        lcd = float(sphere.angle(b0[j], b1[j]))
+        if lab > 0:
+            ev_a.setdefault(int(i), []).append(
+                (float(sphere.angle(a0[i], p)) / lab, p))
+        if lcd > 0:
+            ev_b.setdefault(int(j), []).append(
+                (float(sphere.angle(b0[j], p)) / lcd, p))
+
+
 def _events(a0, a1, b_verts, b0, b1):
     """events[global_a_edge] = [(t, xyz)] from proper crossings with b edges
-    and b vertices strictly interior to a edges."""
+    and b vertices strictly interior to a edges (one-sided form, used by
+    paths that only atomize side a)."""
     ev: dict = {}
     if len(a0) == 0:
         return ev
@@ -157,16 +204,7 @@ def _events(a0, a1, b_verts, b0, b1):
             lab = float(sphere.angle(a0[i], a1[i]))
             if lab > 0:
                 ev.setdefault(int(i), []).append((la / lab, p))
-    if len(b_verts):
-        d = sphere.point_arc_distance(b_verts[:, None, :],
-                                      a0[None, :, :], a1[None, :, :])
-        for vi, i in zip(*np.where(d < EPS)):
-            v = b_verts[vi]
-            la = float(sphere.angle(a0[i], v))
-            lb = float(sphere.angle(v, a1[i]))
-            lab = float(sphere.angle(a0[i], a1[i]))
-            if la > EPS and lb > EPS and lab > 0:
-                ev.setdefault(int(i), []).append((la / lab, v))
+    _vertex_events(ev, a0, a1, b_verts)
     return ev
 
 
@@ -436,8 +474,11 @@ def _poly_poly(a_polys, b_polys, op: str):
     a_verts = np.vstack(a_cycles) if a_cycles else np.zeros((0, 3))
     b_verts = np.vstack(b_cycles) if b_cycles else np.zeros((0, 3))
 
-    ev_a = _events(a0, a1, b_verts, b0, b1)
-    ev_b = _events(b0, b1, a_verts, a0, a1)
+    ev_a: dict = {}
+    ev_b: dict = {}
+    _cross_events(ev_a, ev_b, a0, a1, b0, b1)
+    _vertex_events(ev_a, a0, a1, b_verts)
+    _vertex_events(ev_b, b0, b1, a_verts)
     subs_a = _atomize(a_cycles, ev_a, a_offs, nodes, closed=True,
                       cycles_ll=a_ll)
     subs_b = _atomize(b_cycles, ev_b, b_offs, nodes, closed=True,
@@ -494,8 +535,11 @@ def _line_line(a_chains_ll, b_chains_ll, op: str):
     a_verts = np.vstack(a_cycles) if a_cycles else np.zeros((0, 3))
     b_verts = np.vstack(b_cycles) if b_cycles else np.zeros((0, 3))
 
-    ev_a = _events(a0, a1, b_verts, b0, b1)
-    ev_b = _events(b0, b1, a_verts, a0, a1)
+    ev_a: dict = {}
+    ev_b: dict = {}
+    _cross_events(ev_a, ev_b, a0, a1, b0, b1)
+    _vertex_events(ev_a, a0, a1, b_verts)
+    _vertex_events(ev_b, b0, b1, a_verts)
     subs_a = _atomize(a_cycles, ev_a, a_offs, nodes, closed=False,
                       cycles_ll=a_chains_ll)
     subs_b = _atomize(b_cycles, ev_b, b_offs, nodes, closed=False,
