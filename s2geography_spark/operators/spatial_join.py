@@ -224,6 +224,8 @@ def covering_levels(regions: DataFrame, covering_col: str = "covering"):
 # spatial_join falls back to the shuffle path automatically
 MAX_BROADCAST_DIM_ROWS = 200_000
 MAX_BROADCAST_DIM_BYTES = 256 * 1024 * 1024
+# the (cell -> region_id) id index is ~24 B/row: 8M exploded cells ~ 200 MB
+MAX_BROADCAST_INDEX_ROWS = 8_000_000
 
 
 def dim_broadcast_stats(regions: DataFrame, region_geog: str):
@@ -363,7 +365,7 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                  salt: Optional[int] = None,
                  level: Optional[int] = None,
                  leaf_col: Optional[str] = None,
-                 refine_mode: str = "rows") -> DataFrame:
+                 refine_mode: str = "auto") -> DataFrame:
     """Join each point row to every region whose polygon satisfies
     `predicate` (contains/intersects) — the engine's flagship operator.
 
@@ -447,22 +449,44 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                                     F.col(lat), F.col("_full")))
         return refined.drop("_leaf", "_ck", "_full")
 
-    # shuffle path (large, non-broadcastable dim).  Two refine modes:
+    # non-broadcastable dim.  Three plans (all brute-force-verified):
     #
-    # rows (default): the exploded dim carries its WKB through the
-    #   candidate equi-join; the refine UDF pulls (geog, lng, lat) through
-    #   Arrow per candidate row and amortizes decode per distinct WKB per
-    #   batch.  ONE fact-side shuffle — measured ~4x faster here than the
-    #   cogroup mode for KB-sized polygons.
-    # cogroup: candidates pair on ids only, then cogroup with the dim by
-    #   region id so each geography crosses the Arrow boundary once per
-    #   group.  Costs a SECOND fact-side shuffle — the right trade only
-    #   when the dim's geographies are much larger than the fact rows
-    #   (multi-MB coastline polygons), where per-candidate WKB transfer
-    #   would dominate the exchange.
+    # rows (the 'auto' default — fastest measured: 7.1M vs 4.3M vs 1.8M
+    #   fact-rows/s on the 80M-mention bench): ONE fact-side shuffle on
+    #   the (salted) cell key with WKB attached to candidate rows;
+    #   per-distinct-WKB batched refine.
+    # index: the dim's WKB is too big to broadcast but its
+    #   (cell -> region_id) INDEX is ~24 bytes/row — broadcast THAT, so
+    #   candidate generation stays MAP-ONLY and only candidates shuffle
+    #   (by region id) into the cogroup refine.  The right plan when the
+    #   fact rows are wide or candidates are a small fraction of the fact
+    #   (here candidates ~ fact, so the cogroup's Arrow hop loses to the
+    #   plain shuffle).
+    # cogroup: ids-only shuffle join + a second candidates shuffle into
+    #   the cogroup refine — only right when geographies are much larger
+    #   than fact rows AND the id index can't broadcast.
     #
-    # Hot-cell skew on the join is salted (plus AQE skew-join); the
-    # cogroup mode reuses the salt to split hot-region groups.
+    # Hot-cell skew on shuffling joins is salted (plus AQE skew-join);
+    # the cogroup refine reuses the salt to split hot-region groups.
+    if refine_mode == "auto":
+        refine_mode = "rows"
+
+    if refine_mode == "index":
+        n_idx = regions.select(F.sum(F.size(covering_col))).collect()[0][0]
+        if n_idx is None or int(n_idx) > MAX_BROADCAST_INDEX_ROWS:
+            raise ValueError(
+                f"refine_mode='index' needs the exploded cell index to fit "
+                f"a broadcast (<= {MAX_BROADCAST_INDEX_ROWS} cells)")
+        idx = (regions
+               .select(region_id, F.explode(covering_col).alias("_cell"))
+               .withColumn("_ck", cell_join_key(F.col("_cell")))
+               .drop("_cell"))
+        cand = (pts.join(F.broadcast(idx), "_ck")  # MAP-ONLY candidates
+                .drop("_leaf", "_ck"))
+        return _cogroup_refine(cand, regions, region_geog, region_id,
+                               covering_col, lng, lat, predicate,
+                               int(salt) if salt else 1)
+
     if refine_mode == "rows":
         exploded = regions.withColumn("cell_id", F.explode(covering_col)) \
             .drop(covering_col) \
@@ -483,6 +507,7 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         drop_cols = ["_leaf", "_ck"] + (["_salt"] if salt else [])
         return refined.drop(*drop_cols)
 
+    # refine_mode == "cogroup": ids-only shuffle join then cogroup refine
     exploded = (regions
                 .select(region_id, F.explode(covering_col).alias("_cell"))
                 .withColumn("_ck", cell_join_key(F.col("_cell")))
@@ -498,8 +523,17 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         join_keys = ["_ck"]
     cand = (pts.join(exploded, join_keys, "inner")
             .drop("_leaf", "_ck", *(["_salt"] if salt else [])))
+    return _cogroup_refine(cand, regions, region_geog, region_id,
+                           covering_col, lng, lat, predicate,
+                           int(salt) if salt else 1)
 
-    nsplit = int(salt) if salt else 1
+
+def _cogroup_refine(cand: DataFrame, regions: DataFrame, region_geog: str,
+                    region_id: str, covering_col: str, lng: str, lat: str,
+                    predicate: str, nsplit: int) -> DataFrame:
+    """Exact refine of (point, region_id) candidates by COGROUPING with the
+    dim on region id: each region's WKB crosses the Arrow boundary once per
+    group; nsplit > 1 splits hot-region groups (skew)."""
     group_keys = [region_id]
     # dim side of the cogroup uses RENAMED keys: both sides descend from
     # `regions`, and identical attribute lineage trips the ambiguous-

@@ -181,3 +181,14 @@ def test_spatial_join_shuffle_cogroup_matches(spark, mentions):
            for r in joined.select("url", "mention_idx", "region_id").collect()}
     expected = brute_force_pairs(mentions.limit(500).collect(), 24)
     assert got == expected
+
+
+def test_spatial_join_index_mode_matches(spark, mentions):
+    """index refine mode: broadcast (cell -> region_id) index, map-only
+    candidates, cogroup refine — same result as brute force."""
+    regions = regions_df(spark, 24)
+    joined = spatial_join(mentions.limit(500), regions, predicate="contains",
+                          broadcast=False, refine_mode="index")
+    got = {(r.url, r.mention_idx, r.region_id)
+           for r in joined.select("url", "mention_idx", "region_id").collect()}
+    assert got == brute_force_pairs(mentions.limit(500).collect(), 24)
