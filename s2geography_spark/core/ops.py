@@ -392,23 +392,27 @@ def _canon_line(l: np.ndarray) -> tuple:
 
 def s2_equals(g1, g2) -> Optional[bool]:
     """Geometric equality: both empty -> true; ring-rotation equal polygons
-    equal (predicates.cc:452-552 fast paths + fixtures)."""
+    equal (predicates.cc:452-552 fast paths + fixtures).  XY only — the
+    reference's S2 shapes carry no Z/M, so POINT Z (0 0 1) equals
+    POINT (0 0)."""
     if g1 is None or g2 is None:
         return None
     if g1.is_empty() and g2.is_empty():
         return True
     if g1.is_empty() != g2.is_empty():
         return False
-    pts1 = {tuple(p) for p in g1.points}
-    pts2 = {tuple(p) for p in g2.points}
+    pts1 = {tuple(p[:2]) for p in g1.points}
+    pts2 = {tuple(p[:2]) for p in g2.points}
     if pts1 != pts2:
         return False
-    l1 = sorted(_canon_line(l) for l in g1.lines if len(l) >= 2)
-    l2 = sorted(_canon_line(l) for l in g2.lines if len(l) >= 2)
+    l1 = sorted(_canon_line(l[:, :2]) for l in g1.lines if len(l) >= 2)
+    l2 = sorted(_canon_line(l[:, :2]) for l in g2.lines if len(l) >= 2)
     if l1 != l2:
         return False
-    r1 = sorted(_canon_ring(r) for rings in g1.polys for r in rings if len(r) >= 4)
-    r2 = sorted(_canon_ring(r) for rings in g2.polys for r in rings if len(r) >= 4)
+    r1 = sorted(_canon_ring(r[:, :2]) for rings in g1.polys
+                for r in rings if len(r) >= 4)
+    r2 = sorted(_canon_ring(r[:, :2]) for rings in g2.polys
+                for r in rings if len(r) >= 4)
     return r1 == r2
 
 

@@ -236,3 +236,12 @@ def test_mixed_zm_union_concat_pads():
     d = B.s2_difference(from_wkt("MULTIPOINT Z ((0 0 5), (3 3 6))"),
                         from_wkt("POINT (0 0)"))
     assert to_wkt(d, 6) == "POINT (3 3)"
+
+
+def test_equals_ignores_zm():
+    # the reference's equality operates on S2 shapes (XY); Z/M don't count
+    assert ops.s2_equals(from_wkt("POINT Z (0 0 1)"), from_wkt("POINT (0 0)")) is True
+    assert ops.s2_equals(from_wkt("LINESTRING ZM (0 0 1 2, 1 0 3 4)"),
+                         from_wkt("LINESTRING (0 0, 1 0)")) is True
+    assert ops.s2_equals(from_wkt("POINT Z (0 0 1)"),
+                         from_wkt("POINT (0 1)")) is False
