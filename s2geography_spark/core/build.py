@@ -251,20 +251,25 @@ def s2_rebuild(g: Optional[Geog]) -> Optional[Geog]:
 
 def s2_reduce_precision(g: Optional[Geog], grid_exponent: int) -> Optional[Geog]:
     """Snap lon/lat to 10^-e degrees (IntLatLngSnapFunction analog); drops
-    parts that collapse."""
+    parts that collapse; snapped-together points merge (reference golden
+    multipoint_merge).  Z/M columns are carried through unrounded."""
     if g is None:
         return None
 
     def snap(c):
-        return np.round(np.asarray(c, dtype=np.float64), grid_exponent)
+        c = np.asarray(c, dtype=np.float64).copy()
+        c[:, :2] = np.round(c[:, :2], grid_exponent)
+        return c
 
-    pts = snap(g.points) if len(g.points) else None
+    pts = None
+    if len(g.points):
+        pts = np.unique(snap(g.points), axis=0)
     lines = []
     for l in g.lines:
         s = snap(l)
-        # drop consecutive duplicates
+        # drop consecutive duplicates (XY identity)
         keep = np.ones(len(s), dtype=bool)
-        keep[1:] = (np.abs(s[1:] - s[:-1]).max(axis=1) > 0)
+        keep[1:] = (np.abs(s[1:, :2] - s[:-1, :2]).max(axis=1) > 0)
         s = s[keep]
         if len(s) >= 2:
             lines.append(s)
@@ -274,9 +279,9 @@ def s2_reduce_precision(g: Optional[Geog], grid_exponent: int) -> Optional[Geog]
         for k, r in enumerate(rings):
             s = snap(r)
             keep = np.ones(len(s), dtype=bool)
-            keep[1:] = (np.abs(s[1:] - s[:-1]).max(axis=1) > 0)
+            keep[1:] = (np.abs(s[1:, :2] - s[:-1, :2]).max(axis=1) > 0)
             s = s[keep]
-            if len(s) and (s[0] != s[-1]).any():
+            if len(s) and (s[0, :2] != s[-1, :2]).any():
                 s = np.vstack([s, s[:1]])
             if len(s) >= 4:
                 new_rings.append(s)
@@ -285,7 +290,21 @@ def s2_reduce_precision(g: Optional[Geog], grid_exponent: int) -> Optional[Geog]
                 break
         if new_rings:
             polys.append(new_rings)
-    return Geog(points=pts, lines=lines, polys=polys, typ=g.typ)
+    return Geog(points=pts, lines=lines, polys=polys, typ=g.typ, zm=g.zm)
+
+
+def s2_reduce_precision_grid(g: Optional[Geog],
+                             grid_size: float) -> Optional[Geog]:
+    """Grid-size form of the reference SQL kernel (build.cc:1165-1196):
+    exponent = round(-log10(grid)) clamped to [0, 15]; non-positive grid
+    leaves the input unchanged (reference 'no snapping with negative grid
+    size' golden)."""
+    if g is None:
+        return None
+    if grid_size is None or grid_size <= 0:
+        return g
+    e = int(np.clip(np.round(-np.log10(grid_size)), 0, 15))
+    return s2_reduce_precision(g, e)
 
 
 # ---------------------------------------------------------------------------

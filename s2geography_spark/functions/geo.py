@@ -41,7 +41,8 @@ __all__ = [
     "point_wkb_columns", "register_sql_functions",
     "st_intersection", "st_union", "st_difference", "st_symdifference",
     "st_convexhull", "st_pointonsurface", "st_touches", "st_simplify",
-    "st_reduceprecision", "st_buffer", "st_buffer_quadsegs",
+    "st_reduceprecision", "st_reduceprecision_grid", "st_buffer",
+    "st_buffer_quadsegs",
     "st_buffer_params", "st_isvalid", "st_isvalidreason",
     "s2_intersectsbox", "s2_cell_center", "s2_cell_distance",
     "s2_cell_max_distance", "s2_cell_area", "s2_cell_common_ancestor_level",
@@ -333,9 +334,21 @@ def st_simplify(a: pd.Series, tol: pd.Series) -> pd.Series:
 
 @pandas_udf(T.BinaryType())
 def st_reduceprecision(a: pd.Series, exp: pd.Series) -> pd.Series:
+    """(geog, exponent int) form: snap to 10^-e degrees."""
     return pd.Series(
         [to_wkb(_build.s2_reduce_precision(g, int(e))) if e is not None else None
          for g, e in zip(_decode_cache(a), exp)], dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def st_reduceprecision_grid(a: pd.Series, grid: pd.Series) -> pd.Series:
+    """(geog, grid_size double) — the reference SQL kernel's signature
+    (ReducePrecisionKernel, build.cc:1165-1196): exponent =
+    round(-log10(grid)); non-positive grid leaves input unchanged."""
+    return pd.Series(
+        [to_wkb(_build.s2_reduce_precision_grid(g, float(s)))
+         if s is not None else None
+         for g, s in zip(_decode_cache(a), grid)], dtype=object)
 
 
 @pandas_udf(T.DoubleType())
@@ -741,7 +754,9 @@ def register_sql_functions(spark):
         "st_difference": st_difference, "st_symdifference": st_symdifference,
         "st_convexhull": st_convexhull, "st_pointonsurface": st_pointonsurface,
         "st_touches": st_touches, "st_simplify": st_simplify,
-        "st_reduceprecision": st_reduceprecision, "st_buffer": st_buffer,
+        "st_reduceprecision": st_reduceprecision,
+        "st_reduceprecision_grid": st_reduceprecision_grid,
+        "st_buffer": st_buffer,
         "st_buffer_quadsegs": st_buffer_quadsegs,
         "st_buffer_params": st_buffer_params,
         # cell-id kernels register as the raw UDFs: exact on non-null bigint

@@ -285,3 +285,23 @@ def test_multi_depth_ring_nesting():
     assert ops.s2_contains(g, from_wkt("POINT (4 4)")) is True      # island
     assert ops.s2_contains(g, from_wkt("POINT (2.5 2.5)")) is False  # hole
     assert ops.s2_contains(g, from_wkt("POINT (1 1)")) is True       # shell
+
+
+@pytest.mark.parametrize("wkt,grid,expected", [
+    # build_test.cc ReducePrecision goldens (grid-size form)
+    ("POINT (0 0)", 1.0, "POINT (0 0)"),
+    ("POINT (0.001 0.001)", 1.0, "POINT (0 0)"),
+    ("MULTIPOINT ((0.001 0.001), (0.002 0.002))", 1.0, "POINT (0 0)"),
+    ("LINESTRING (0.01 0.02, 0.03 0.04)", 1.0, "LINESTRING EMPTY"),
+    ("LINESTRING (0 0, 10 10)", -1.0, "LINESTRING (0 0, 10 10)"),
+    ("LINESTRING (0.001 0, 4.999 5.001, 10 10.001)", 1.0,
+     "LINESTRING (0 0, 5 5, 10 10)"),
+])
+def test_reduce_precision_grid_goldens(wkt, grid, expected):
+    got = B.s2_reduce_precision_grid(from_wkt(wkt), grid)
+    assert to_wkt(got, 6) == expected
+
+
+def test_reduce_precision_keeps_zm():
+    g = B.s2_reduce_precision(from_wkt("LINESTRING Z (0.001 0 7.123, 10 10.001 8.456)"), 0)
+    assert to_wkt(g, 6) == "LINESTRING Z (0 0 7.123, 10 10 8.456)"
