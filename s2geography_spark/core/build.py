@@ -184,16 +184,37 @@ def _dp_simplify(chain_xyz: np.ndarray, tol_rad: float) -> np.ndarray:
 
 def s2_simplify(g: Optional[Geog], tolerance_m: float) -> Optional[Geog]:
     """Douglas-Peucker with geodesic distances; negative tolerance treated
-    as abs (PostGIS compat, build.cc:1214-1216)."""
+    as abs (PostGIS compat, build.cc:1214-1216).  Snap-function side
+    effects reproduced per the reference goldens: points within tolerance
+    of an earlier point merge; a chain whose vertices all merge collapses
+    to EMPTY.  Z/M columns ride along unmodified."""
     if g is None:
         return None
     tol = abs(tolerance_m) / EARTH_RADIUS_METERS
+    pts = None
+    if len(g.points):
+        keep_rows = []
+        kept_xyz = []
+        pxyz = g.points_xyz()
+        for i in range(len(g.points)):
+            if kept_xyz and float(sphere.angle(
+                    np.array(kept_xyz), pxyz[i][None, :]).min()) <= tol:
+                continue
+            keep_rows.append(i)
+            kept_xyz.append(pxyz[i])
+        pts = g.points[keep_rows]
     lines = []
     for l in g.lines:
         if len(l) < 2:
             continue
         v = sphere.lnglat_to_xyz(l)
-        lines.append(l[_dp_simplify(v, tol)])
+        rr = l[_dp_simplify(v, tol)]
+        # endpoints merging under the snap tolerance collapse the chain
+        if len(rr) == 2 and tol > 0 and float(sphere.angle(
+                sphere.lnglat_to_xyz(rr[0, :2]),
+                sphere.lnglat_to_xyz(rr[1, :2]))) <= tol:
+            continue
+        lines.append(rr)
     polys = []
     for rings in g.polys:
         new_rings = []
@@ -209,8 +230,7 @@ def s2_simplify(g: Optional[Geog], tolerance_m: float) -> Optional[Geog]:
                 break
         if new_rings:
             polys.append(new_rings)
-    return Geog(points=g.points.copy() if len(g.points) else None,
-                lines=lines, polys=polys, typ=g.typ)
+    return Geog(points=pts, lines=lines, polys=polys, typ=g.typ, zm=g.zm)
 
 
 def s2_rebuild(g: Optional[Geog]) -> Optional[Geog]:

@@ -305,3 +305,25 @@ def test_reduce_precision_grid_goldens(wkt, grid, expected):
 def test_reduce_precision_keeps_zm():
     g = B.s2_reduce_precision(from_wkt("LINESTRING Z (0.001 0 7.123, 10 10.001 8.456)"), 0)
     assert to_wkt(g, 6) == "LINESTRING Z (0 0 7.123, 10 10 8.456)"
+
+
+@pytest.mark.parametrize("wkt,tol,expected", [
+    # build_test.cc Simplify goldens
+    ("POINT (0 0)", 1000000.0, "POINT (0 0)"),
+    ("MULTIPOINT ((0 0), (10 10))", 0.0, "MULTIPOINT ((0 0), (10 10))"),
+    ("MULTIPOINT ((0 0), (0.001 0.001))", 1000000.0, "POINT (0 0)"),
+    ("MULTIPOINT ((0 0), (0.001 0.001))", -1000000.0, "POINT (0 0)"),
+    ("LINESTRING (0 0, 10 0)", 0.0, "LINESTRING (0 0, 10 0)"),
+    ("LINESTRING (0 0, 5 1, 10 0)", 0.0, "LINESTRING (0 0, 5 1, 10 0)"),
+    ("LINESTRING (0 0, 5 1, 10 0)", 200000.0, "LINESTRING (0 0, 10 0)"),
+    ("LINESTRING (0 0, 5 1, 10 0)", 50000.0, "LINESTRING (0 0, 5 1, 10 0)"),
+    ("LINESTRING (0 0, 0.0001 0.0001)", 1000000.0, "LINESTRING EMPTY"),
+    ("LINESTRING Z (0 0 100, 10 0 200)", 0.0,
+     "LINESTRING Z (0 0 100, 10 0 200)"),
+    ("LINESTRING M (0 0 100, 10 0 200)", 0.0,
+     "LINESTRING M (0 0 100, 10 0 200)"),
+    ("LINESTRING ZM (0 0 100 1000, 10 0 200 2000)", 0.0,
+     "LINESTRING ZM (0 0 100 1000, 10 0 200 2000)"),
+])
+def test_simplify_goldens(wkt, tol, expected):
+    assert to_wkt(B.s2_simplify(from_wkt(wkt), tol), 6) == expected
