@@ -6,18 +6,18 @@ Scope notes vs the reference (/root/reference/src/s2geography/build.cc):
   * convex hull (accessors-geog.cc:339-455): gnomonic-projection Graham scan
     — exact for inputs within a hemisphere (the common case; the reference's
     S2ConvexHullQuery handles the full sphere).
-  * simplify (build.cc:1198-1229): geodesic Douglas-Peucker with tolerance
-    in meters — same contract (keeps chain endpoints), different snapper.
+  * simplify (build.cc:1198-1229): geodesic Douglas-Peucker + snap-function
+    side effects (point merge, chain collapse); negative tol = abs.
   * reduce precision (build.cc:1165-1196): IntLatLngSnapFunction analog —
-    round lon/lat to 10^-e degrees, drop collapsed parts.
-  * buffer (build.cc:1610-1718): exact spherical circles for points
-    (quad_segs per quarter, PostGIS-style); line/polygon buffering routes
-    through the buffered covering at join level (operators/spatial_join) and
-    is otherwise not yet implemented natively.
-  * overlay: empty/disjoint fast paths (build.cc:1259-1516 shortcuts),
-    point-vs-polygon and line-vs-polygon exact clipping; polygon-vs-polygon
-    general overlay is NOT implemented in round 1 (raises NotImplementedError
-    unless disjoint/contained — the covering prefilter cases).
+    exponent and grid-size forms; snapped points merge; Z/M pass through.
+  * buffer (build.cc:1610-1718): full parameter string (endcap, side,
+    quad_segs), polygon erosion for negative distances, exact spherical
+    circles / small-circle offsets / tangent-aligned caps.
+  * overlay (build.cc:1259-1516): the GENERAL boundary-algebra engine in
+    core/overlay.py — every input combination including shared/collinear
+    edges, vertex contacts, holes, multi-depth nesting, mixed collections;
+    CLOSED model with closed-set line/point residue; reference-exact empty
+    typing.  Invalid polygons repair through loop-parity unary union.
 """
 
 from __future__ import annotations
@@ -830,3 +830,43 @@ def _concat(g1: Geog, g2: Geog) -> Geog:
                 polys=[[w(r, g.zm) for r in rings]
                        for g in (g1, g2) for rings in g.polys],
                 zm=zm)
+
+
+def _has_lines(g: Geog) -> bool:
+    return any(len(l) >= 2 for l in g.lines)
+
+
+def _has_polys(g: Geog) -> bool:
+    return any(rings for rings in g.polys)
+
+
+def s2_build_point(g: Optional[Geog], strict: bool = True) -> Optional[Geog]:
+    """Coerce to the point layer (build.cc:321-334): strict=True errors on
+    higher-dimension shapes (the reference's behavior); strict=False is the
+    layer-action INCLUDE extraction (build_test.cc:48-68)."""
+    if g is None:
+        return None
+    if strict and (_has_lines(g) or _has_polys(g)):
+        raise ValueError("s2_build_point: input contains non-point shapes")
+    pts = np.unique(g.points, axis=0) if len(g.points) else None
+    return Geog(points=pts, typ=1, zm=g.zm)
+
+
+def s2_build_polyline(g: Optional[Geog], strict: bool = True) -> Optional[Geog]:
+    """Coerce to the polyline layer (build.cc:336-349)."""
+    if g is None:
+        return None
+    if strict and (len(g.points) or _has_polys(g)):
+        raise ValueError("s2_build_polyline: input contains non-line shapes")
+    return Geog(lines=[l.copy() for l in g.lines if len(l) >= 2], typ=2,
+                zm=g.zm)
+
+
+def s2_build_polygon(g: Optional[Geog], strict: bool = True) -> Optional[Geog]:
+    """Coerce to the polygon layer (build.cc:351-364)."""
+    if g is None:
+        return None
+    if strict and (len(g.points) or _has_lines(g)):
+        raise ValueError("s2_build_polygon: input contains non-polygon shapes")
+    return Geog(polys=[[r.copy() for r in rings] for rings in g.polys
+                       if rings], typ=3, zm=g.zm)

@@ -327,3 +327,25 @@ def test_reduce_precision_keeps_zm():
 ])
 def test_simplify_goldens(wkt, tol, expected):
     assert to_wkt(B.s2_simplify(from_wkt(wkt), tol), 6) == expected
+
+
+def test_build_layer_coercions():
+    """build.cc:321-364 + the layer-action INCLUDE semantics
+    (build_test.cc:48-147): extract one dimension; strict errors on mixed."""
+    gc = from_wkt("GEOMETRYCOLLECTION (POINT (-64 45), "
+                  "LINESTRING (-64 45, 0 1), POLYGON ((0 0, 1 0, 0 1, 0 0)))")
+    assert to_wkt(B.s2_build_point(gc, strict=False), 6) == "POINT (-64 45)"
+    assert to_wkt(B.s2_build_polyline(gc, strict=False), 6) == \
+        "LINESTRING (-64 45, 0 1)"
+    assert to_wkt(B.s2_build_polygon(gc, strict=False), 6) == \
+        "POLYGON ((0 0, 1 0, 0 1, 0 0))"
+    for fn in (B.s2_build_point, B.s2_build_polyline, B.s2_build_polygon):
+        with pytest.raises(ValueError):
+            fn(gc)
+    # rebuild merges duplicate points (default DuplicateEdges::MERGE)
+    assert to_wkt(B.s2_rebuild(from_wkt("MULTIPOINT ((-64 45), (-64 45))")),
+                  6) == "POINT (-64 45)"
+    # ring orientation fixed by rebuild
+    r = B.s2_rebuild(from_wkt("POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))"))
+    from s2geography_spark.core import sphere
+    assert sphere.ring_signed_area(sphere.lnglat_to_xyz(r.polys[0][0])) > 0
