@@ -349,3 +349,23 @@ def test_build_layer_coercions():
     r = B.s2_rebuild(from_wkt("POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))"))
     from s2geography_spark.core import sphere
     assert sphere.ring_signed_area(sphere.lnglat_to_xyz(r.polys[0][0])) > 0
+
+
+@pytest.mark.parametrize("wkt", [
+    "POINT (-64 45)",
+    "MULTIPOINT ((0 0), (10 10), (-64 45))",
+    "LINESTRING (0 0, 10 10, 20 0)",
+    "MULTILINESTRING ((0 0, 10 10), (20 20, 30 30))",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))",
+    "MULTIPOLYGON (((0 0, 5 0, 5 5, 0 5, 0 0)), "
+    "((20 20, 25 20, 25 25, 20 25, 20 20)))",
+])
+def test_unary_union_roundtrip(wkt):
+    """Build.UnaryUnionRoundtrip: valid input passes through unary union
+    preserving dimension, length, and area."""
+    g = from_wkt(wkt)
+    u = B.s2_unary_union(g)
+    assert u.dimension() == g.dimension()
+    assert ops.s2_length(u) == pytest.approx(ops.s2_length(g), rel=1e-12)
+    assert ops.s2_area(u) == pytest.approx(ops.s2_area(g), rel=1e-12)
