@@ -682,7 +682,7 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
                       point_id: str, lng: str = "lng", lat: str = "lat",
                       region_geog: str = "geog", region_id: str = "region_id",
                       init_radius_m: float = 250_000.0,
-                      max_rounds: int = 6,
+                      max_rounds: Optional[int] = None,
                       distance_col: str = "distance_m") -> DataFrame:
     """Scale-path kNN: buffered-covering candidate pruning with radius
     doubling (the distributed analog of S2ClosestEdgeQuery's chord-angle
@@ -693,8 +693,10 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     joins on its cell key, so every region within r of the point IS a
     candidate.  Points with >= k candidates at distance <= r are resolved
     exactly (their true top-k are all within r); the rest retry at 2r.
-    Unresolved points after max_rounds fall back to the broadcast
-    brute-force join (correct for any k).
+    max_rounds=None (default) doubles until the radius covers the sphere
+    (ceil(log2(pi*R/init)) rounds, ~7 from the 250 km default), at which
+    point every point is PROVABLY resolved — the dense fallback join only
+    runs for an explicit low max_rounds cap.
 
     Preferred over knn_join when |points| x |regions| is too large to
     evaluate densely; per round the work is candidates-only.
@@ -725,7 +727,10 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     n_remaining = remaining.count()
     resolved_parts = []
     radius = float(init_radius_m)
-    for _round in range(max_rounds):
+    limit = max_rounds if max_rounds is not None else \
+        int(np.ceil(np.log2(np.pi * sphere.EARTH_RADIUS_METERS
+                            / max(radius, 1.0)))) + 2
+    for _round in range(max(limit, 1)):
         if n_remaining == 0:
             break
         # dim side: buffered covering at this radius (s2_covering_buffered
