@@ -491,16 +491,53 @@ def s2_y(g: Optional[Geog]) -> Optional[float]:
     return float("nan")
 
 
+def _centroid_zm(g: Geog) -> np.ndarray:
+    """Z/M of the centroid, weighted per the highest dimension present
+    (accessors-geog ZM goldens): dim 0 = mean of point values; dim 1 =
+    edge-length-weighted mean of edge-midpoint values; dim 2 =
+    |ring-area|-weighted mean of ring-vertex means."""
+    dim = g.dimension()
+    k = g.coord_width() - 2
+    if dim == 0:
+        return g.points[:, 2:].mean(axis=0)
+    if dim == 1:
+        acc = np.zeros(k)
+        wsum = 0.0
+        for l in g.lines:
+            if len(l) < 2:
+                continue
+            v = sphere.lnglat_to_xyz(l)
+            w = np.asarray(sphere.angle(v[:-1], v[1:]), dtype=np.float64)
+            mids = (l[:-1, 2:] + l[1:, 2:]) / 2.0
+            acc += (mids * w[:, None]).sum(axis=0)
+            wsum += float(w.sum())
+        return acc / wsum if wsum > 0 else np.full(k, np.nan)
+    acc = np.zeros(k)
+    wsum = 0.0
+    for rings in g.polys:
+        for r in rings:
+            if len(r) >= 4:
+                w = abs(float(sphere.ring_signed_area(sphere.lnglat_to_xyz(r))))
+                acc += r[:-1, 2:].mean(axis=0) * w
+                wsum += w
+    return acc / wsum if wsum > 0 else np.full(k, np.nan)
+
+
 def s2_centroid(g: Optional[Geog]) -> Optional[Geog]:
     """Dimension-prioritized spherical true centroid
-    (accessors-geog.cc:243-337): polygons beat lines beat points."""
+    (accessors-geog.cc:243-337): polygons beat lines beat points.  Z/M
+    columns carry the dimension-weighted mean."""
     if g is None:
         return None
     vec = centroid_vector(g)
     if vec is None or not np.isfinite(vec).all() or np.linalg.norm(vec) == 0:
-        return Geog(typ=1)  # POINT EMPTY
+        return Geog(typ=1, zm=g.zm)  # POINT EMPTY
     p = vec / np.linalg.norm(vec)
-    return Geog(points=sphere.xyz_to_lnglat(p).reshape(1, 2))
+    ll = sphere.xyz_to_lnglat(p)
+    if g.zm == (False, False):
+        return Geog(points=ll.reshape(1, 2))
+    row = np.concatenate([ll, _centroid_zm(g)])
+    return Geog(points=row.reshape(1, -1), zm=g.zm)
 
 
 def centroid_vector(g: Geog) -> Optional[np.ndarray]:

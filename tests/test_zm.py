@@ -245,3 +245,25 @@ def test_equals_ignores_zm():
                          from_wkt("LINESTRING (0 0, 1 0)")) is True
     assert ops.s2_equals(from_wkt("POINT Z (0 0 1)"),
                          from_wkt("POINT (0 1)")) is False
+
+
+# centroid ZM goldens (accessors-geog_test.cc:373-421)
+@pytest.mark.parametrize("wkt,expected", [
+    ("POINT Z (0 1 10)", "POINT Z (0 1 10)"),
+    ("MULTIPOINT Z ((0 0 10), (0 1 11))", "POINT Z (0 0.5 10.5)"),
+    ("POINT M (0 1 10)", "POINT M (0 1 10)"),
+    ("MULTIPOINT M ((0 0 10), (0 1 11))", "POINT M (0 0.5 10.5)"),
+    ("POINT ZM (0 1 10 20)", "POINT ZM (0 1 10 20)"),
+    ("MULTIPOINT ZM ((0 0 10 20), (0 1 11 21))", "POINT ZM (0 0.5 10.5 20.5)"),
+    ("LINESTRING Z (0 0 10, 0 1 11)", "POINT Z (0 0.5 10.5)"),
+    ("LINESTRING Z (0 0 10, 0 1 11, 0 5 15)", "POINT Z (0 2.5 12.5)"),
+    ("LINESTRING M (0 0 10, 0 1 11, 0 5 15)", "POINT M (0 2.5 12.5)"),
+    ("LINESTRING ZM (0 0 10 20, 0 1 11 21)", "POINT ZM (0 0.5 10.5 20.5)"),
+    ("LINESTRING ZM (0 0 10 20, 0 1 11 21, 0 5 15 25)",
+     "POINT ZM (0 2.5 12.5 22.5)"),
+])
+def test_centroid_zm_goldens(wkt, expected):
+    got = ops.s2_centroid(from_wkt(wkt))
+    exp = from_wkt(expected)
+    assert got.zm == exp.zm
+    assert np.allclose(got.points, exp.points, atol=1e-9), to_wkt(got, 8)
