@@ -312,3 +312,25 @@ def test_covering_buffered_superset():
     near = from_wkt("POINT (10 10.45)")
     leaf = C.from_lnglat(np.array([10.0]), np.array([10.45]))
     assert C.contains(cov, np.broadcast_to(leaf, cov.shape)).any()
+
+
+@pytest.mark.parametrize("wkt,expected", [
+    # accessors-geog_test.cc centroid table (XY rows with exact printed
+    # coordinates — validates the true-centroid math to 1e-6 deg)
+    ("POINT (0 1)", (0.0, 1.0)),
+    ("MULTIPOINT ((0 0), (0 1))", (0.0, 0.5)),
+    ("LINESTRING (0 0, 0 1)", (0.0, 0.5)),
+    ("LINESTRING (0 0, 0 1, 0 5)", (0.0, 2.5)),
+    ("MULTILINESTRING ((0 0, 0 1), (10 0, 10 5))", (8.336347, 2.171205)),
+    ("POLYGON ((0 0, 0 1, 1 0, 0 0))", (0.33335, 0.333344)),
+    ("POLYGON ((0 0, 0 2, 2 0, 0 0), (0.1 0.1, 0.1 0.5, 0.5 0.1, 0.1 0.1))",
+     (0.684859, 0.68481)),
+    ("MULTIPOLYGON (((0 0, 0 1, 1 0, 0 0)), ((10 10, 10 11, 11 10, 10 10)))",
+     (5.254205, 5.315242)),
+    ("MULTIPOLYGON (((0 0, 0 2, 2 0, 0 0), (0.1 0.1, 0.1 0.5, 0.5 0.1, "
+     "0.1 0.1)), ((10 10, 10 11, 11 10, 10 10)))", (2.624356, 2.655749)),
+])
+def test_centroid_reference_goldens(wkt, expected):
+    got = ops.s2_centroid(from_wkt(wkt))
+    assert got.points[0, 0] == pytest.approx(expected[0], abs=2e-6)
+    assert got.points[0, 1] == pytest.approx(expected[1], abs=2e-6)
