@@ -334,3 +334,32 @@ def test_centroid_reference_goldens(wkt, expected):
     got = ops.s2_centroid(from_wkt(wkt))
     assert got.points[0, 0] == pytest.approx(expected[0], abs=2e-6)
     assert got.points[0, 1] == pytest.approx(expected[1], abs=2e-6)
+
+
+@pytest.mark.parametrize("wkt,area,perimeter", [
+    # accessors-geog_test.cc Area/Perimeter scalar tables (exact doubles)
+    ("POLYGON ((0 0, 0 1, 1 0, 0 0))", 6182489130.9071951, 379639.83044747578),
+    ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 12364036567.076418,
+     444763.46872762055),
+    ("MULTIPOLYGON (((0 0, 0 1, 1 0, 0 0)), ((10 10, 10 11, 11 10, 10 10)))",
+     12271037686.230379, 756282.14701838186),
+    ("POLYGON ((0 0, 0 2, 2 0, 0 0), (0.1 0.1, 0.1 0.5, 0.5 0.1, 0.1 0.1))",
+     23744568445.094166, 911112.66968130425),
+    ("GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (0 0, 0 1), "
+     "POLYGON ((0 0, 0 1, 1 0, 0 0)))", 6182489130.9071951,
+     379639.83044747578),
+])
+def test_area_perimeter_reference_goldens(wkt, area, perimeter):
+    g = from_wkt(wkt)
+    assert ops.s2_area(g) == pytest.approx(area, rel=1e-12)
+    assert ops.s2_perimeter(g) == pytest.approx(perimeter, rel=1e-12)
+
+
+@pytest.mark.parametrize("wkt,expected", [
+    ("POINT EMPTY", 0.0), ("POINT (0 0)", 0.0),
+    ("MULTIPOINT ((0 0), (1 1))", 0.0),
+    ("LINESTRING (0 0, 0 1)", 0.0),
+    ("MULTILINESTRING ((0 0, 0 1), (1 0, 1 1))", 0.0),
+])
+def test_area_zero_for_lower_dims(wkt, expected):
+    assert ops.s2_area(from_wkt(wkt)) == expected
