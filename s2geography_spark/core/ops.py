@@ -445,14 +445,21 @@ def s2_touches(g1, g2) -> Optional[bool]:
 
 def s2_area(g: Optional[Geog]) -> Optional[float]:
     """Sum of signed ring areas * R^2; non-polygonal -> 0
-    (accessors.cc:292-307; holes negative via CW normalization)."""
+    (accessors.cc:292-307; holes negative via CW normalization).  A net
+    NEGATIVE sum means the polygon was imported with oriented=True and a
+    CW shell ('everything else'): the area wraps to 4*pi*R^2 + sum, the
+    S2Loop sign convention for inverted loops."""
     if g is None:
         return None
     total = 0.0
+    any_ring = False
     for rings in g.polys:
         for r in rings:
             if len(r) >= 4:
+                any_ring = True
                 total += sphere.ring_signed_area(sphere.lnglat_to_xyz(r))
+    if any_ring and total < 0:
+        total += 4.0 * np.pi
     return total * EARTH_RADIUS_METERS ** 2
 
 

@@ -267,3 +267,16 @@ def test_centroid_zm_goldens(wkt, expected):
     exp = from_wkt(expected)
     assert got.zm == exp.zm
     assert np.allclose(got.points, exp.points, atol=1e-9), to_wkt(got, 8)
+
+
+def test_oriented_cw_shell_area_wraps():
+    """oriented=True keeps a CW shell as 'everything else': its area is
+    the sphere minus the loop (S2Loop inverted-loop convention)."""
+    import struct
+    from s2geography_spark.core import sphere as sp
+    ring = np.array([[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]], dtype="<f8")
+    wkb_cw = struct.pack("<bII", 1, 3, 1) + struct.pack("<I", 5) + ring.tobytes()
+    small = ops.s2_area(from_wkb(wkb_cw))          # default: normalized CCW
+    big = ops.s2_area(from_wkb(wkb_cw, oriented=True))
+    sphere_area = 4.0 * np.pi * ops.EARTH_RADIUS_METERS ** 2
+    assert big == pytest.approx(sphere_area - small, rel=1e-12)
