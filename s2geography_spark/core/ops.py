@@ -999,6 +999,19 @@ def s2_cell_union_bound(g: Optional[Geog]) -> Optional[List[int]]:
     return s2_covering(g, max_cells=4)
 
 
+def buffered_covering_level(radius_m: float) -> int:
+    """Deterministic re-parent level for a buffered covering: the level
+    whose min cell width >= radius (kMinWidth ~ 2*sqrt(2)/3 * 2^-level).
+    Pure driver-side arithmetic — the dwithin/kNN radius-doubling loops use
+    this instead of collect()ing min(cell_level) from a Spark job per round
+    (the expanded covering's min level is exactly
+    min(base covering min level, this))."""
+    radius_rad = radius_m / EARTH_RADIUS_METERS
+    return int(np.clip(np.floor(np.log2((2 * np.sqrt(2) / 3)
+                                        / max(radius_rad, 1e-15))),
+                       0, MAX_COVER_LEVEL))
+
+
 def buffered_covering_from_cells(cells, radius_m: float) -> List[int]:
     """Expand a base covering into a buffered covering at `radius_m`
     (coverings.cc:80-87 analog): re-parent each cell to a level whose min
@@ -1008,11 +1021,7 @@ def buffered_covering_from_cells(cells, radius_m: float) -> List[int]:
     caller's to amortize across radii."""
     if len(cells) == 0:
         return []
-    radius_rad = radius_m / EARTH_RADIUS_METERS
-    # level whose min cell width >= radius: kMinWidth ~ 2*sqrt(2)/3 * 2^-level
-    lev = int(np.clip(np.floor(np.log2((2 * np.sqrt(2) / 3)
-                                       / max(radius_rad, 1e-15))),
-                      0, MAX_COVER_LEVEL))
+    lev = buffered_covering_level(radius_m)
     arr = np.asarray(cells, dtype=np.int64).view(np.uint64)
     target = np.minimum(C.level(arr), lev)
     p = np.unique(C.parent(arr, target))

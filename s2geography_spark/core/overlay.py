@@ -768,10 +768,20 @@ def overlay(gA: Geog, gB: Geog, op: str) -> Geog:
     else:
         raise ValueError(f"unknown overlay op {op!r}")
 
-    # closed-set normalization: drop lines covered by output polygons,
-    # points covered by output lines/polygons, then dedupe points
-    out_lines = [l for l in out_lines
-                 if not _line_covered_by_polys(l, out_polys)]
+    # closed-set normalization (build.cc:1247,1265 NormalizeClosedSet): emit
+    # only the line portions NOT covered by output polygons — a partially
+    # covered line is clipped at the boundary, not kept or dropped whole.
+    # Boundary-collinear runs test inside under the closed model and are
+    # suppressed, matching the reference's closed-polygon coverage.
+    if out_polys and out_lines:
+        _poly_cover = Geog(polys=out_polys)
+        clipped: List[np.ndarray] = []
+        for l in out_lines:
+            if _line_covered_by_polys(l, out_polys):
+                continue  # fully covered: skip the crossing scan
+            clipped += [c for c in _clip_line_to_polygon(l, _poly_cover, False)
+                        if len(c) >= 2]
+        out_lines = clipped
     final_pts: List[np.ndarray] = []
     seen = _NodeIndex()
     n_nodes = 0

@@ -158,18 +158,30 @@ def bbox_agg(df: DataFrame, group_cols: list[str], lng: str = "lng",
 
 
 def _concat_merge(wkbs, dedupe_points: bool) -> bytes:
+    """Merge shape vectors across a group with the same Z/M negotiation as
+    build._concat (sedona_udf_internal.h:449-461): the output dimension is
+    the union of input dimensions, narrower coordinate arrays widen with
+    NaN padding — mixed POINT Z + POINT groups merge instead of crashing,
+    and uniform-ZM groups keep their Z/M."""
+    from ..core.geog import _widen_coords
     parts = [from_wkb(bytes(b)) for b in wkbs if b is not None]
     parts = [g for g in parts if g is not None and not g.is_empty()]
     if not parts:
         return to_wkb(Geog(typ=7))
-    pts = [g.points for g in parts if len(g.points)]
+    zm = (any(g.zm[0] for g in parts), any(g.zm[1] for g in parts))
+
+    def w(arr, src_zm):
+        return _widen_coords(np.asarray(arr, dtype=np.float64), src_zm, zm)
+
+    pts = [w(g.points, g.zm) for g in parts if len(g.points)]
     points = np.vstack(pts) if pts else None
     if points is not None and dedupe_points:
         points = np.unique(points, axis=0)
     return to_wkb(Geog(
         points=points,
-        lines=[l.copy() for g in parts for l in g.lines],
-        polys=[[r.copy() for r in rings] for g in parts for rings in g.polys]))
+        lines=[w(l, g.zm) for g in parts for l in g.lines],
+        polys=[[w(r, g.zm) for r in rings] for g in parts for rings in g.polys],
+        zm=zm))
 
 
 def _two_phase_merge(df: DataFrame, geog: str, group_cols: list[str],

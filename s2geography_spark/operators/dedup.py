@@ -4,7 +4,8 @@ Four families, each a distinct scale/recall trade-off:
   * exact           — hash groupBy (one shuffle on the digest)
   * n-gram Jaccard  — exact set similarity via shingle inverted index
   * MinHash + LSH   — approximate Jaccard with banded signatures
-  * SimHash         — Hamming-ball near-dup via 4-band exact match
+  * SimHash         — Hamming-ball near-dup via distinct-signature collapse
+                      + block-combination (Manku-style) banded join
 
 All shuffles key on digests/band-hashes (uniform — no skew); hot shingles
 are df-capped to bound the inverted-index fan-out (standard practice: a
@@ -140,9 +141,11 @@ def _flat_tokens(text: pd.Series, strip_punct: bool):
     isnull = text.isna().to_numpy()
     s = text.fillna("").astype(str).str.lower()
     if strip_punct:
-        # keep alnum + whitespace only (the shingle normalization; also
-        # drops underscore, matching str.isalnum semantics)
-        s = s.str.replace(r"[^\w\s]|_", "", regex=True)
+        # keep ASCII alnum + underscore + whitespace — the SAME class as the
+        # engine's Spark-side tokenizer (Java regex \w is ASCII) and the
+        # DuckDB oracles' '[^a-zA-Z0-9_\s]', so the three tokenizations agree
+        # by construction (underscores and non-ASCII punctuation included).
+        s = s.str.replace(r"[^a-zA-Z0-9_\s]", "", regex=True)
     toks = s.str.split()
     counts = np.array([len(t) for t in toks], dtype=np.int64)
     flat = [w for lst in toks for w in lst]
@@ -384,23 +387,91 @@ def simhash_udf(seed: int = 42):
     return udf
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming distance <= max_hamming via the 4-band
-    pigeonhole trick: at least one 16-bit band must match exactly."""
-    sh = df.select(F.col(id_col), simhash_udf()(F.col(text)).alias("sim"))
-    bands = sh.select(
-        id_col, "sim",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned("sim", b * 16).bitwiseAND(F.lit(0xFFFF))
-            for b in range(4)])).alias("band", "band_val"))
-    a = bands.select("band", "band_val", F.col(id_col).alias("a"),
-                     F.col("sim").alias("sim_a"))
-    b = bands.select("band", "band_val", F.col(id_col).alias("b"),
-                     F.col("sim").alias("sim_b"))
-    cand = (a.join(b, ["band", "band_val"]).where(F.col("a") < F.col("b"))
-            .select("a", "b", "sim_a", "sim_b").dropDuplicates(["a", "b"]))
+def _simhash_combo_keys(sim, blocks: int, r: int):
+    """Column: array of combination keys for the Manku multi-block scheme.
+
+    The 64 signature bits split into `blocks` near-equal blocks; a pair at
+    Hamming distance <= h := blocks - r has >= r identical blocks
+    (pigeonhole), so joining on EVERY r-block combination (combo index
+    packed with the r block values into one long) finds it.  Key
+    cardinality is ~2^(r*64/blocks) per combo (e.g. blocks=6, r=3: ~2^32)
+    vs 2^16 for the old 4x16 single-band scheme — bucket occupancy stays
+    bounded as the corpus grows instead of going linear in N."""
+    from itertools import combinations
+    base, rem = divmod(64, blocks)
+    widths = [base + 1 if i < rem else base for i in range(blocks)]
+    offsets = np.cumsum([0] + widths[:-1]).tolist()
+
+    def block_val(i):
+        return F.shiftrightunsigned(sim, offsets[i]) \
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+
+    keys = []
+    for ci, combo in enumerate(combinations(range(blocks), r)):
+        acc = F.lit(int(ci)).cast("long")
+        for i in combo:
+            acc = F.shiftleft(acc, widths[i]).bitwiseOR(block_val(i))
+        keys.append(acc)
+    return F.array(*keys)
+
+
+def simhash_sig_pairs(dsig: DataFrame, max_hamming: int,
+                      blocks: int = 6) -> DataFrame:
+    """Distinct-signature pairs (sim_a < sim_b, hamming <= max_hamming)
+    from a one-column DataFrame of DISTINCT `sim` longs, via the
+    block-combination banded join.  Factored out of simhash_near_pairs so
+    the candidate-generation shape is directly testable."""
+    r = blocks - max_hamming
+    keyed = dsig.select("sim", F.explode(
+        _simhash_combo_keys(F.col("sim"), blocks, r)).alias("_k"))
+    sa = keyed.select(F.col("_k"), F.col("sim").alias("sim_a"))
+    sb = keyed.select(F.col("_k"), F.col("sim").alias("sim_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (cand.withColumn("hamming", hamming.cast("int"))
-            .where(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming"))
+    return (sa.join(sb, "_k").where(F.col("sim_a") < F.col("sim_b"))
+            .select("sim_a", "sim_b").dropDuplicates()
+            .withColumn("hamming", hamming.cast("int"))
+            .where(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text: str = "text", max_hamming: int = 3,
+                       blocks: int = 6) -> DataFrame:
+    """Near-dup pairs (a < b, hamming <= max_hamming) at corpus scale.
+
+    Two-level plan (the round-2 4x16-band join keyed on at most 65,536
+    values per band — bucket occupancy grew linearly with corpus size and
+    candidates quadratically; near-identical boilerplate concentrated in
+    few buckets):
+
+      1. collapse to DISTINCT signatures first — a billion byte-similar
+         boilerplate pages share one signature and cost the banded join
+         exactly one row; identical-signature pairs come from a plain
+         equi-join on the full 64-bit value (uniform key);
+      2. the banded candidate join runs over distinct signatures with
+         block-combination keys (_simhash_combo_keys: blocks=6, r=3 for
+         hamming<=3 -> C(6,3)=20 keys/signature, ~2^32-value keyspace),
+         guaranteeing pigeonhole recall with bounded bucket occupancy;
+      3. signature pairs expand back to id pairs via two equi-joins on the
+         signature value (output size is inherent to the semantics).
+    """
+    if blocks <= max_hamming:
+        raise ValueError(f"blocks={blocks} must exceed max_hamming={max_hamming}")
+    sh = df.select(F.col(id_col), simhash_udf()(F.col(text)).alias("sim")) \
+        .where(F.col("sim").isNotNull())
+    sig_pairs = simhash_sig_pairs(sh.select("sim").distinct(),
+                                  max_hamming, blocks)
+    # same-signature id pairs (hamming 0)
+    same = (sh.select(F.col("sim"), F.col(id_col).alias("a"))
+            .join(sh.select(F.col("sim"), F.col(id_col).alias("b")), "sim")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", F.lit(0).cast("int").alias("hamming")))
+    # cross-signature id pairs
+    cross = (sig_pairs
+             .join(sh.select(F.col("sim").alias("sim_a"),
+                             F.col(id_col).alias("_ida")), "sim_a")
+             .join(sh.select(F.col("sim").alias("sim_b"),
+                             F.col(id_col).alias("_idb")), "sim_b")
+             .select(F.least("_ida", "_idb").alias("a"),
+                     F.greatest("_ida", "_idb").alias("b"),
+                     F.col("hamming")))
+    return same.unionByName(cross)

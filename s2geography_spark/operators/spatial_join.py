@@ -649,19 +649,26 @@ def dwithin_join(points: DataFrame, regions: DataFrame, radius_m: float, *,
     distance refines with the threshold pushed down (distance.cc:285-289).
     Coverings are supersets, so candidates are never missed; refine-only
     false positives are dropped."""
+    from ..core.ops import buffered_covering_level
     from ..functions.cells import cell_level
     from ..functions.geo import s2_coveringcellids
 
     base_cov = regions.select(
         region_id, s2_coveringcellids(F.col(region_geog)).alias("_bcov"))
+    # the common coarsest level of the buffered covering is
+    # min(base covering min level, level(radius)) — the radius part is pure
+    # driver arithmetic (buffered_covering_level), so the only Spark job
+    # here scans the cheap BASE coverings, not the expanded ones
+    base_min = base_cov.agg(
+        F.min(F.array_min(F.transform(F.col("_bcov"), cell_level))).alias("l")
+    ).collect()[0].l
+    if base_min is None:
+        return points.limit(0).join(regions.select(region_id).limit(0))
+    lev = min(int(base_min), buffered_covering_level(float(radius_m)))
     covx = (base_cov
             .select(region_id,
                     F.explode(_expand_covering_udf(float(radius_m))(
                         F.col("_bcov"))).alias("_cell")))
-    lev_row = covx.agg(F.min(cell_level(F.col("_cell"))).alias("l")).collect()[0]
-    if lev_row.l is None:
-        return points.limit(0).join(regions.select(region_id).limit(0))
-    lev = int(lev_row.l)
     dim = (covx.select(region_id, cell_parent(F.col("_cell"), lev).alias("_cell"))
            .distinct()
            .withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell"))
@@ -708,6 +715,7 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     broadcast when a side is actually small).
     """
     from pyspark.sql import Window as W
+    from ..core.ops import buffered_covering_level
     from ..functions.cells import cell_level
     from ..functions.geo import s2_coveringcellids
 
@@ -717,6 +725,14 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     base_cov = regions.select(
         region_id, s2_coveringcellids(F.col(region_geog)).alias("_bcov")) \
         .persist()
+    # base-covering min level: ONE job up front; each round's common level
+    # is then min(base_min, buffered_covering_level(radius)) driver-side —
+    # no per-round collect() (the round-2 plan paid ~1-2 scheduling jobs
+    # per radius doubling just to learn a number that is a deterministic
+    # function of the radius)
+    base_min = base_cov.agg(
+        F.min(F.array_min(F.transform(F.col("_bcov"), cell_level))).alias("l")
+    ).collect()[0].l
     # per-round persistence: each round's resolved set and the shrinking
     # `remaining` are materialized once — without it the left_anti lineage
     # chain recomputes every earlier round's candidate join + window on
@@ -731,7 +747,7 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
         int(np.ceil(np.log2(np.pi * sphere.EARTH_RADIUS_METERS
                             / max(radius, 1.0)))) + 2
     for _round in range(max(limit, 1)):
-        if n_remaining == 0:
+        if n_remaining == 0 or base_min is None:
             break
         # dim side: buffered covering at this radius (s2_covering_buffered
         # analog, coverings.cc:80-87), expanded from the persisted base,
@@ -741,11 +757,7 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
                 .select(region_id,
                         F.explode(_expand_covering_udf(radius)(
                             F.col("_bcov"))).alias("_cell")))
-        lev_row = covx.agg(F.min(cell_level(F.col("_cell"))).alias("l")) \
-            .collect()[0]
-        if lev_row.l is None:
-            break
-        lev = int(lev_row.l)
+        lev = min(int(base_min), buffered_covering_level(radius))
         dim = (covx.select(region_id,
                            cell_parent(F.col("_cell"), lev).alias("_cell"))
                .distinct()
@@ -781,6 +793,7 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
                             region_geog=region_geog, distance_col=distance_col)
         parts.append(fallback.select(*cols))
     if not parts:
+        remaining.unpersist()
         return remaining.drop("_leaf").limit(0) \
             .withColumn(region_id, F.lit(None).cast("long")) \
             .withColumn(distance_col, F.lit(None).cast("double")) \
@@ -788,6 +801,15 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
+    # materialize the combined result once, then release every per-round
+    # cached block (resolved parts + the final `remaining`) — repeated
+    # invocations in a long-lived session (bench runs 3x) no longer
+    # accumulate cached blocks until LRU pressure
+    out = out.persist()
+    out.count()
+    for part in resolved_parts:
+        part.unpersist()
+    remaining.unpersist()
     return out
 
 

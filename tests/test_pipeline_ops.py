@@ -131,6 +131,40 @@ def test_simhash_near_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_sig_pairs_worst_case_recall(spark):
+    # hamming-3 pairs with the 3 flipped bits landing in 3 DIFFERENT blocks
+    # (the worst case for the block-combination scheme: only C(3,3)=1 of the
+    # 20 combos matches) must still be found — pigeonhole guarantees it
+    base = 0x123456789ABCDEF0
+    flipped = base ^ (1 << 2) ^ (1 << 20) ^ (1 << 50)  # blocks 0, 1, 4
+    far = base ^ 0xFF  # hamming 8 > 3
+    df = spark.createDataFrame([(base,), (flipped,), (far,)], "sim long")
+    got = {(r.sim_a, r.sim_b, r.hamming)
+           for r in dedup.simhash_sig_pairs(df, max_hamming=3).collect()}
+    lo, hi = sorted([base, flipped])
+    assert (lo, hi, 3) in got
+    assert all(h <= 3 for _, _, h in got)
+
+
+def test_simhash_identical_corpus_no_candidate_explosion(spark):
+    # 10^4 identical documents collapse to ONE distinct signature before the
+    # banded join: its input is C(6,3)=20 key rows, not 4 * N as in the old
+    # per-document 16-bit-band plan (where this corpus put 10^4 rows in one
+    # bucket -> ~5*10^7 pre-refine candidates)
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body repeated verbatim").alias("text"))
+    sh = docs.select(dedup.simhash_udf()(F.col("text")).alias("sim")).distinct()
+    assert sh.count() == 1
+    keyed = sh.select(F.explode(
+        dedup._simhash_combo_keys(F.col("sim"), 6, 3)).alias("_k"))
+    assert keyed.count() == 20
+    # and the id-pair expansion still yields every same-signature pair
+    pairs = dedup.simhash_near_pairs(docs.limit(200), max_hamming=3)
+    assert pairs.count() == 200 * 199 // 2
+
+
 def test_brute_force_topk_exact(spark, emb):
     corpus = emb.limit(300)
     queries = (emb.limit(5)
