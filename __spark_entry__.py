@@ -188,16 +188,24 @@ def q_geo_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise region intersection AREAS via the general spherical overlay
     (boundary algebra, core/overlay.py) — oracled by the exact lat/lng-box
     spherical area formula R^2 * (sin(lat1)-sin(lat0)) * dlng_rad, bucketed
-    to 1e10 m^2 (densified-edge polygons track true boxes to ~1e-5 rel)."""
+    to 1e10 m^2 (densified-edge polygons track true boxes to ~1e-5 rel).
+
+    Plan: covering equi-join (geog_pair_join — both sides explode their
+    fixed-level-6 coverings and hash-join on the cell key; NO
+    BroadcastNestedLoopJoin / cartesian anywhere), bbox filter to the exact
+    positive-interior pair set, then the overlay refine.  O(covering
+    overlap), not O(N*M) — the plan survives both sides growing 100x."""
     import numpy as np
     from s2geography_spark.core.geog import to_wkb
     from s2geography_spark.functions.geo import st_intersection_area
+    from s2geography_spark.operators.spatial_join import geog_pair_join
     from s2geography_spark.sources.regions import densified_rect, region_corners
 
-    regions = _regions(spark).select("region_id", "lng0", "lat0", "lng1", "lat1", "geog")
+    regions = _regions(spark)
     a = regions.select(F.col("region_id").alias("ra"), F.col("lng0").alias("alng0"),
                        F.col("lat0").alias("alat0"), F.col("lng1").alias("alng1"),
-                       F.col("lat1").alias("alat1"), F.col("geog").alias("ga"))
+                       F.col("lat1").alias("alat1"), F.col("geog").alias("ga"),
+                       F.col("covering").alias("cov_a"))
     # second set: every region shifted by (+2, +1) degrees -> guaranteed
     # overlapping pairs with its source region
     rs = np.arange(N_REGIONS)
@@ -210,8 +218,14 @@ def q_geo_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = spark.createDataFrame(
         rows_b, "rb long, blng0 double, blat0 double, blng1 double,"
                 " blat1 double, gb binary")
-    # candidate pairs: bbox overlap with positive interior (JVM-side)
-    pair = (a.crossJoin(F.broadcast(b))
+    cand = geog_pair_join(a, b, left_id="ra", right_id="rb",
+                          left_geog="ga", right_geog="gb",
+                          level=6, left_covering="cov_a")
+    # exact pair set: bbox overlap with positive interior (JVM-side);
+    # coverings are supersets, so this only DROPS false candidates
+    pair = (cand
+            .join(a.select("ra", "alng0", "alat0", "alng1", "alat1"), "ra")
+            .join(b.select("rb", "blng0", "blat0", "blng1", "blat1"), "rb")
             .where((F.greatest("alng0", "blng0") < F.least("alng1", "blng1"))
                    & (F.greatest("alat0", "blat0") < F.least("alat1", "blat1"))))
 
@@ -324,24 +338,36 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target class is provably 1), then an exact shingle-set-digest
     verify removes any est=1.0 collisions.  The DuckDB oracle computes
     identical-shingle-set pairs directly — the two must match exactly."""
-    from s2geography_spark.operators.dedup import (minhash_lsh_pairs,
-                                                   shingle_set_digest_udf)
+    from s2geography_spark.operators.dedup import minhash_sig_bands_digest_udf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     clones = docs.where(F.col("doc_id") < 20) \
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    # persist the shared corpus: the LSH band self-join and the two digest
-    # branches would otherwise re-scan + re-run the signature UDF 4x
-    corpus = docs.unionAll(clones).persist()
-    cand = minhash_lsh_pairs(corpus, threshold=1.0).select("a", "b")
-    digest = corpus.select(
-        "doc_id", shingle_set_digest_udf()(F.col("text")).alias("dg")) \
-        .where(F.col("dg").isNotNull()).persist()
-    da = digest.select(F.col("doc_id").alias("a"), F.col("dg").alias("dg_a"))
-    db = digest.select(F.col("doc_id").alias("b"), F.col("dg").alias("dg_b"))
-    return (cand.join(da, "a").join(db, "b")
-            .where(F.col("dg_a") == F.col("dg_b"))
-            .select("a", "b"))
+    corpus = docs.unionAll(clones)
+    # ONE corpus scan: signature + band hashes + exact shingle-set digest
+    # from a single tokenization pass; persist the (small) derived frame so
+    # the band self-join's two branches read it instead of re-running the
+    # UDF (round 2 ran the tokenizer 3x and joined the digest back in two
+    # extra shuffles — 6.7 s at sf0.1; this plan is band-join-bound)
+    sbd = (corpus.select("doc_id",
+                         minhash_sig_bands_digest_udf()(F.col("text"))
+                         .alias("_s"))
+           .select("doc_id", F.col("_s.bands").alias("bands"),
+                   F.col("_s.digest").alias("dg"))
+           .where(F.col("dg").isNotNull()).persist())
+    banded = sbd.select("doc_id", "dg",
+                        F.posexplode("bands").alias("band", "band_hash"))
+    a = banded.select("band", "band_hash", F.col("doc_id").alias("a"),
+                      F.col("dg").alias("dg_a"))
+    b = banded.select("band", "band_hash", F.col("doc_id").alias("b"),
+                      F.col("dg").alias("dg_b"))
+    # candidates from the banded LSH bucket join; the digest equality IS
+    # the exact verify (equal shingle sets => equal signatures => every
+    # band matches, so recall for the oracle's class is provably 1)
+    return (a.join(b, ["band", "band_hash"])
+            .where((F.col("a") < F.col("b"))
+                   & (F.col("dg_a") == F.col("dg_b")))
+            .select("a", "b").dropDuplicates(["a", "b"]))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,25 +377,32 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit band matches (recall 1 for the target class).  Candidates at
     Hamming 0 are verified by normalized-text digest equality, which the
     DuckDB oracle computes directly."""
-    from s2geography_spark.operators.dedup import simhash_near_pairs
+    from s2geography_spark.operators.dedup import simhash_udf
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     clones = docs.where(F.col("doc_id") < 20) \
         .select((F.col("doc_id") + 100000).alias("doc_id"),
                 F.upper(F.col("text")).alias("text"))
-    corpus = docs.unionAll(clones).persist()
-    cand = simhash_near_pairs(corpus, max_hamming=0)
-    # normalized token stream, exactly as simhash_udf tokenizes
-    # (text.lower().split()): md5 over the space-joined tokens
-    norm = corpus.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.split(F.trim(F.lower("text")), r"\s+")))
-        .alias("nt"))
-    na = norm.select(F.col("doc_id").alias("a"), F.col("nt").alias("nt_a"))
-    nb = norm.select(F.col("doc_id").alias("b"), F.col("nt").alias("nt_b"))
-    return (cand.join(na, "a").join(nb, "b")
-            .where(F.col("nt_a") == F.col("nt_b"))
-            .select("a", "b", "hamming"))
+    corpus = docs.unionAll(clones)
+    # ONE corpus scan: the simhash signature (vectorized UDF) and the
+    # normalized-token-stream md5 verify key (pure Column, JVM-side —
+    # md5 over text.lower().split() joined by spaces, exactly the
+    # simhash_udf tokenization) in the same projection; then a single
+    # self-join on the 64-bit signature (uniform key).  Hamming-0 pairs
+    # are exactly same-signature pairs, so this IS the candidate join;
+    # digest equality is the exact verify.  The hamming>0 banded path
+    # (block-combination keys) is exercised by the pytest worst-case
+    # recall tests (test_pipeline_ops.py).
+    sn = (corpus.select(
+            "doc_id", simhash_udf()(F.col("text")).alias("sim"),
+            F.md5(F.concat_ws(" ", F.split(F.trim(F.lower("text")), r"\s+")))
+            .alias("nt"))
+          .where(F.col("sim").isNotNull()).persist())
+    na = sn.select("sim", F.col("doc_id").alias("a"), F.col("nt").alias("nt_a"))
+    nb = sn.select("sim", F.col("doc_id").alias("b"), F.col("nt").alias("nt_b"))
+    return (na.join(nb, "sim")
+            .where((F.col("a") < F.col("b")) & (F.col("nt_a") == F.col("nt_b")))
+            .select("a", "b", F.lit(0).cast("int").alias("hamming")))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -165,6 +165,32 @@ def _flat_tokens(text: pd.Series, strip_punct: bool):
     return uh[codes], counts, isnull
 
 
+def _shingle_stream(text: pd.Series, ngram: int):
+    """Batch shingle pipeline shared by the minhash/digest UDFs: rolling
+    polynomial hashes over the flat token stream with cross-document
+    windows masked, plus per-document segment bounds.  Returns
+    (hv flat uint64 shingle hashes, n_sh per-doc counts, bounds n+1
+    prefix offsets into hv, isnull mask)."""
+    n_docs = len(text)
+    th, counts, isnull = _flat_tokens(text, strip_punct=True)
+    k = ngram - 1
+    with np.errstate(over="ignore"):
+        if len(th) > k:
+            acc = th[:len(th) - k].copy()
+            for s in range(1, ngram):
+                acc = acc * _SHINGLE_P + th[s:len(th) - k + s]
+        else:
+            acc = np.zeros(0, dtype=np.uint64)
+    doc_of = np.repeat(np.arange(n_docs), counts)
+    valid = doc_of[:len(acc)] == doc_of[k:k + len(acc)] if len(acc) \
+        else np.zeros(0, dtype=bool)
+    hv = acc[valid]
+    n_sh = np.maximum(counts - k, 0)
+    bounds = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=bounds[1:])
+    return hv, n_sh, bounds, isnull
+
+
 def _shingle_hashes(text: str, ngram: int) -> np.ndarray:
     """Distinct 64-bit hashes of word n-gram shingles of one string (the
     scalar path; the UDFs use the batched _flat_tokens pipeline)."""
@@ -193,28 +219,11 @@ def minhash_signature_udf(num_perm: int = 64, seed: int = 42, ngram: int = 3):
     @pandas_udf(T.ArrayType(T.LongType()))
     def udf(text: pd.Series) -> pd.Series:
         n_docs = len(text)
-        th, counts, isnull = _flat_tokens(text, strip_punct=True)
-        k = ngram - 1
-        # rolling shingle hash over the flat token stream
-        with np.errstate(over="ignore"):
-            if len(th) > k:
-                acc = th[:len(th) - k].copy()
-                for s in range(1, ngram):
-                    acc = acc * _SHINGLE_P + th[s:len(th) - k + s]
-            else:
-                acc = np.zeros(0, dtype=np.uint64)
-        # windows fully inside one document
-        doc_of = np.repeat(np.arange(n_docs), counts)
-        valid = doc_of[:len(acc)] == doc_of[k:k + len(acc)] if len(acc) \
-            else np.zeros(0, dtype=bool)
-        hv = acc[valid]
-        n_sh = np.maximum(counts - k, 0)
-        starts = np.zeros(n_docs, dtype=np.int64)
-        np.cumsum(n_sh[:-1], out=starts[1:])
+        hv, n_sh, bounds, isnull = _shingle_stream(text, ngram)
         nonempty = n_sh > 0
         sigs = np.zeros((n_docs, num_perm), dtype=np.uint64)
         if hv.size and nonempty.any():
-            ne_starts = starts[nonempty]
+            ne_starts = bounds[:-1][nonempty]
             for lo in range(0, num_perm, perm_chunk):
                 hi = min(lo + perm_chunk, num_perm)
                 with np.errstate(over="ignore"):
@@ -243,6 +252,27 @@ _SIG_BANDS_TYPE = T.StructType([
 ])
 
 
+_SIG_BANDS_DIGEST_TYPE = T.StructType([
+    T.StructField("sig", T.ArrayType(T.LongType())),
+    T.StructField("bands", T.ArrayType(T.LongType())),
+    T.StructField("digest", T.BinaryType()),
+])
+
+
+def _band_hashes(sigs_u64: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) uint64 signature matrix -> (n, bands) int64 FNV folds."""
+    n, num_perm = sigs_u64.shape
+    rows = num_perm // bands
+    prime = np.uint64(0x100000001B3)
+    offset = np.uint64(0xCBF29CE484222325)
+    v = sigs_u64.reshape(n, bands, rows)
+    acc = np.full((n, bands), offset, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            acc = (acc ^ v[:, :, r]) * prime
+    return acc.view(np.int64)
+
+
 def minhash_sig_bands_udf(num_perm: int = 64, bands: int = 16,
                           seed: int = 42, ngram: int = 3):
     """text -> struct(sig array<long>, bands array<long>): the MinHash
@@ -252,9 +282,6 @@ def minhash_sig_bands_udf(num_perm: int = 64, bands: int = 16,
     and any re-evaluation of the signature UDF through projection
     collapse."""
     base = minhash_signature_udf(num_perm, seed, ngram)
-    rows = num_perm // bands
-    prime = np.uint64(0x100000001B3)
-    offset = np.uint64(0xCBF29CE484222325)
 
     @pandas_udf(_SIG_BANDS_TYPE)
     def udf(text: pd.Series) -> pd.DataFrame:
@@ -263,12 +290,7 @@ def minhash_sig_bands_udf(num_perm: int = 64, bands: int = 16,
         valid = [s is not None for s in sigs]
         mat = np.array([s for s in sigs if s is not None], dtype=np.int64)
         if len(mat):
-            v = mat.view(np.uint64).reshape(len(mat), bands, rows)
-            acc = np.full((len(mat), bands), offset, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for r in range(rows):
-                    acc = (acc ^ v[:, :, r]) * prime
-            bh = acc.view(np.int64)
+            bh = _band_hashes(mat.view(np.uint64), bands)
         k = 0
         for ok, s in zip(valid, sigs):
             if not ok:
@@ -279,6 +301,55 @@ def minhash_sig_bands_udf(num_perm: int = 64, bands: int = 16,
                 out_bands.append(bh[k].tolist())
                 k += 1
         return pd.DataFrame({"sig": out_sig, "bands": out_bands})
+
+    return udf
+
+
+def minhash_sig_bands_digest_udf(num_perm: int = 64, bands: int = 16,
+                                 seed: int = 42, ngram: int = 3):
+    """text -> struct(sig, bands, digest): signature, band bucket hashes AND
+    the exact shingle-set md5 digest from ONE tokenization/shingle pass —
+    the LSH candidate pipeline plus its exact-verify key cost a single scan
+    of the corpus (the round-2 plan ran the tokenizer twice more for the
+    digest verify joins)."""
+    import hashlib
+    a_params, b_params = _minhash_params(num_perm, seed)
+    a64 = a_params.astype(np.uint64)
+    b64 = b_params.astype(np.uint64)
+    perm_chunk = 16
+
+    @pandas_udf(_SIG_BANDS_DIGEST_TYPE)
+    def udf(text: pd.Series) -> pd.DataFrame:
+        n_docs = len(text)
+        hv, n_sh, bounds, isnull = _shingle_stream(text, ngram)
+        nonempty = n_sh > 0
+        sigs = np.zeros((n_docs, num_perm), dtype=np.uint64)
+        if hv.size and nonempty.any():
+            ne_starts = bounds[:-1][nonempty]
+            for lo in range(0, num_perm, perm_chunk):
+                hi = min(lo + perm_chunk, num_perm)
+                with np.errstate(over="ignore"):
+                    prod = hv[:, None] * a64[None, lo:hi] + b64[None, lo:hi]
+                sigs[nonempty, lo:hi] = np.minimum.reduceat(prod, ne_starts,
+                                                            axis=0)
+        bh = _band_hashes(sigs, bands)
+        sig_i64 = sigs.view(np.int64)
+        out_sig, out_bands, out_dg = [], [], []
+        for i in range(n_docs):
+            if isnull[i]:
+                out_sig.append(None)
+                out_bands.append(None)
+                out_dg.append(None)
+                continue
+            out_sig.append(sig_i64[i].tolist())
+            out_bands.append(bh[i].tolist())
+            if n_sh[i] <= 0:
+                out_dg.append(None)
+            else:
+                seg = np.unique(hv[bounds[i]:bounds[i + 1]])
+                out_dg.append(hashlib.md5(seg.tobytes()).digest())
+        return pd.DataFrame({"sig": out_sig, "bands": out_bands,
+                             "digest": out_dg})
 
     return udf
 
@@ -295,22 +366,7 @@ def shingle_set_digest_udf(ngram: int = 3):
     @pandas_udf(T.BinaryType())
     def udf(text: pd.Series) -> pd.Series:
         n_docs = len(text)
-        th, counts, isnull = _flat_tokens(text, strip_punct=True)
-        k = ngram - 1
-        with np.errstate(over="ignore"):
-            if len(th) > k:
-                acc = th[:len(th) - k].copy()
-                for s in range(1, ngram):
-                    acc = acc * _SHINGLE_P + th[s:len(th) - k + s]
-            else:
-                acc = np.zeros(0, dtype=np.uint64)
-        doc_of = np.repeat(np.arange(n_docs), counts)
-        valid = doc_of[:len(acc)] == doc_of[k:k + len(acc)] if len(acc) \
-            else np.zeros(0, dtype=bool)
-        hv = acc[valid]
-        n_sh = np.maximum(counts - k, 0)
-        bounds = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(n_sh, out=bounds[1:])
+        hv, n_sh, bounds, isnull = _shingle_stream(text, ngram)
         out = []
         for i in range(n_docs):
             if isnull[i] or n_sh[i] <= 0:

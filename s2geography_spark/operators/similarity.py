@@ -3,9 +3,11 @@
 * brute_force_topk — exact cosine top-k; pure Column math (F.zip_with /
   F.aggregate dot product) + window top-k.  The right plan when the query
   set is broadcastable; corpus-side is map-only.
-* lsh_topk — random-hyperplane LSH buckets as the scale path: candidates
-  only within matching buckets (multi-probe via bands), exact cosine refine.
-* embedding_near_duplicates — pairs with cosine >= threshold via LSH.
+* lsh_topk — banded random-hyperplane LSH as the scale path: b bands x r
+  planes, candidates = pairs matching ANY band (OR-amplification), exact
+  cosine refine.
+* embedding_near_duplicates — pairs with cosine >= threshold via the same
+  banded LSH self-join; optional hot-bucket cap for degenerate corpora.
 """
 
 from __future__ import annotations
@@ -53,45 +55,78 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def lsh_sign_udf(dim: int, n_planes: int = 16, seed: int = 42):
-    """pandas UDF: embedding -> int bucket key of hyperplane sign bits
-    (one matmul per Arrow batch)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+def lsh_band_keys_udf(dim: int, bands: int = 8, planes_per_band: int = 16,
+                      seed: int = 42):
+    """pandas UDF: embedding -> array<long> of per-band LSH bucket keys
+    (one matmul for ALL bands per Arrow batch).
 
-    @pandas_udf(T.LongType())
+    OR-amplified random-hyperplane LSH, the same b-bands-x-r-rows
+    construction as the MinHash side (dedup.minhash_sig_bands_udf): a pair
+    is a candidate when ANY band's r sign bits all match.  Recall for a
+    pair at angle theta is 1 - (1 - (1-theta/pi)^r)^b — a single missed
+    sign bit no longer kills the pair (the round-2 single-band scheme had
+    AND-only amplification: recall was luck-of-the-bucket).  Each key packs
+    (band index << r) | signs, so per-band keyspaces are disjoint and one
+    explode+equi-join serves all bands; cardinality is bands * 2^r
+    (b=8, r=16: ~5x10^5 and growable via r) instead of the old global
+    2^10-bucket space whose occupancy grew linearly with corpus size."""
+    planes = _hyperplanes(dim, bands * planes_per_band, seed)
+    shifts = np.arange(planes_per_band, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
     def udf(vec: pd.Series) -> pd.Series:
-        out = []
         mats, idx = [], []
         for i, v in enumerate(vec):
             if v is not None and len(v) == dim:
                 mats.append(v)
                 idx.append(i)
-        res = np.zeros(len(vec), dtype=np.int64)
+        out = [None] * len(vec)
         if idx:
             M = np.asarray(mats, dtype=np.float64)  # (n, dim)
-            signs = (M @ planes.T) >= 0  # (n, planes)
-            keys = np.zeros(len(idx), dtype=np.int64)
-            for b in range(n_planes):
-                keys |= signs[:, b].astype(np.int64) << b
-            res[np.array(idx)] = keys
-        return pd.Series([int(res[i]) if vec.iloc[i] is not None else None
-                          for i in range(len(vec))], dtype=object)
+            signs = ((M @ planes.T) >= 0).astype(np.int64) \
+                .reshape(len(idx), bands, planes_per_band)
+            keys = (signs << shifts[None, None, :]).sum(axis=2)
+            keys |= (np.arange(bands, dtype=np.int64)
+                     << planes_per_band)[None, :]
+            for j, i in enumerate(idx):
+                out[i] = keys[j].tolist()
+        return pd.Series(out, dtype=object)
 
     return udf
+
+
+def _cap_hot_buckets(keyed: DataFrame, key: str, max_bucket: int) -> DataFrame:
+    """Drop band keys whose occupancy exceeds max_bucket — the df-cap guard
+    for degenerate corpora (a boilerplate embedding repeated 10^6 times
+    would otherwise pay a quadratic self-join in its bucket).  Recall
+    caveat: pairs ONLY findable through a dropped hot bucket are lost;
+    with OR-amplification a true near-pair usually shares several bands,
+    so only mass-duplicated content is affected — dedup that with
+    exact/minhash first (it is byte-level duplication, not geometry)."""
+    hot = (keyed.groupBy(key).agg(F.count("*").alias("_n"))
+           .where(F.col("_n") > max_bucket).select(key))
+    return keyed.join(F.broadcast(hot), key, "left_anti")
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int, *,
              corpus_id: str = "vec_id", query_id: str = "q_id",
              corpus_vec: str = "embedding", query_vec: str = "q_vec",
-             n_planes: int = 12, seed: int = 42) -> DataFrame:
-    """Approximate top-k: join corpus and queries on the LSH bucket key,
-    exact cosine within bucket, window top-k.  Recall improves with fewer
-    planes (bigger buckets); scale path for non-broadcastable query sets —
-    the shuffle keys on the bucket id."""
-    sign = lsh_sign_udf(dim, n_planes, seed)
-    c = corpus.withColumn("_bucket", sign(F.col(corpus_vec)))
-    q = queries.withColumn("_bucket", sign(F.col(query_vec)))
-    pair = c.join(q, "_bucket")
+             bands: int = 8, planes_per_band: int = 16, seed: int = 42,
+             max_bucket: int | None = None) -> DataFrame:
+    """Approximate top-k: explode per-band LSH keys on both sides, equi-join
+    on the key (candidates = pairs matching ANY band), dedupe, exact cosine
+    refine, window top-k.  Scale path for non-broadcastable query sets —
+    the shuffle keys on (band, signs) buckets, uniform for spread-out
+    corpora; `max_bucket` guards degenerate hot buckets."""
+    keys = lsh_band_keys_udf(dim, bands, planes_per_band, seed)
+    c = corpus.select(F.col(corpus_id), F.col(corpus_vec),
+                      F.explode(keys(F.col(corpus_vec))).alias("_bucket"))
+    if max_bucket is not None:
+        c = _cap_hot_buckets(c, "_bucket", max_bucket)
+    q = queries.select(F.col(query_id), F.col(query_vec),
+                       F.explode(keys(F.col(query_vec))).alias("_bucket"))
+    pair = (c.join(q, "_bucket")
+            .dropDuplicates([query_id, corpus_id]))
     pair = pair.withColumn("cosine", cosine_col(F.col(corpus_vec), F.col(query_vec)))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col(corpus_id).asc())
@@ -103,16 +138,24 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int, *,
 def embedding_near_duplicates(df: DataFrame, dim: int, *,
                               id_col: str = "vec_id", vec: str = "embedding",
                               threshold: float = 0.95,
-                              n_planes: int = 10, seed: int = 42) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold: LSH self-join candidates
-    + exact cosine refine (a < b)."""
-    sign = lsh_sign_udf(dim, n_planes, seed)
-    withb = df.withColumn("_bucket", sign(F.col(vec)))
+                              bands: int = 8, planes_per_band: int = 16,
+                              seed: int = 42,
+                              max_bucket: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold: banded OR-amplified LSH
+    self-join candidates (match ANY band) + exact cosine refine (a < b).
+    Identical vectors share every band, so recall for exact clones is 1
+    regardless of band parameters."""
+    keys = lsh_band_keys_udf(dim, bands, planes_per_band, seed)
+    withb = df.select(F.col(id_col), F.col(vec),
+                      F.explode(keys(F.col(vec))).alias("_bucket"))
+    if max_bucket is not None:
+        withb = _cap_hot_buckets(withb, "_bucket", max_bucket)
     a = withb.select(F.col("_bucket"), F.col(id_col).alias("a"),
                      F.col(vec).alias("_va"))
     b = withb.select(F.col("_bucket"), F.col(id_col).alias("b"),
                      F.col(vec).alias("_vb"))
-    cand = a.join(b, "_bucket").where(F.col("a") < F.col("b"))
+    cand = (a.join(b, "_bucket").where(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"]))
     return (cand.withColumn("cosine", cosine_col(F.col("_va"), F.col("_vb")))
             .where(F.col("cosine") >= threshold)
-            .select("a", "b", "cosine").dropDuplicates(["a", "b"]))
+            .select("a", "b", "cosine"))

@@ -579,6 +579,59 @@ def _cogroup_refine(cand: DataFrame, regions: DataFrame, region_geog: str,
     return refined
 
 
+def fixed_level_covering_udf(level: int):
+    """WKB geography -> array<long> covering with every cell at exactly
+    `level` (the single-key join form: both sides of a pair join emit
+    level-L cells, so one hash equi-join on the cell id finds every
+    covering overlap)."""
+    from ..core import ops as _ops
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def udf(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else
+             _ops.s2_covering(from_wkb(bytes(b)), max_cells=1 << 20,
+                              max_level=level)
+             for b in wkb], dtype=object)
+
+    return udf
+
+
+def geog_pair_join(left: DataFrame, right: DataFrame, *,
+                   left_id: str, right_id: str,
+                   left_geog: str = "geog", right_geog: str = "geog",
+                   level: int = 6,
+                   left_covering: Optional[str] = None,
+                   right_covering: Optional[str] = None) -> DataFrame:
+    """Candidate geography pairs from two tables whose fixed-level-L
+    coverings share a cell — the geography-x-geography analog of the
+    point-in-polygon cover join (GeographyIndex::Query for both sides,
+    geography_index.h:33-40): explode both coverings, hash equi-join on the
+    mixed cell key, dedupe pairs.  NEVER a nested-loop/cartesian plan: the
+    shuffle is keyed on level-L cells, candidate volume is bounded by true
+    spatial overlap of the coverings, and both sides scale horizontally.
+
+    Returns distinct (left_id, right_id) candidate pairs joined back to
+    both geography columns for the caller's exact refine (st_intersects /
+    st_intersection area / ...).  Coverings are supersets of their
+    geographies, so no true-intersecting pair is missed."""
+    lcov = F.col(left_covering) if left_covering else \
+        fixed_level_covering_udf(level)(F.col(left_geog))
+    rcov = F.col(right_covering) if right_covering else \
+        fixed_level_covering_udf(level)(F.col(right_geog))
+    lx = (left.select(F.col(left_id), lcov.alias("_cov"))
+          .select(left_id, F.explode("_cov").alias("_cell"))
+          .withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell"))
+    rx = (right.select(F.col(right_id), rcov.alias("_cov"))
+          .select(right_id, F.explode("_cov").alias("_cell"))
+          .withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell"))
+    pairs = (lx.join(rx, "_ck").drop("_ck")
+             .dropDuplicates([left_id, right_id]))
+    return (pairs
+            .join(left.select(F.col(left_id), F.col(left_geog)), left_id)
+            .join(right.select(F.col(right_id), F.col(right_geog)), right_id))
+
+
 # ---------------------------------------------------------------------------
 # distributed kNN join
 # ---------------------------------------------------------------------------

@@ -193,11 +193,49 @@ def test_lsh_topk_self_recall(spark, emb):
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_vec")))
     dim = len(corpus.first().embedding)
-    got = similarity.lsh_topk(corpus, queries, k=1, dim=dim, n_planes=8).collect()
+    got = similarity.lsh_topk(corpus, queries, k=1, dim=dim,
+                              bands=4, planes_per_band=8).collect()
     # each query vector must find itself (same bucket, cosine 1)
     top1 = {r.q_id: r.vec_id for r in got if r.rank == 1}
     hits = sum(1 for q, v in top1.items() if q == v)
     assert hits == 20
+
+
+def test_banded_lsh_recall_beats_single_band(spark):
+    # planted epsilon-perturbed (NOT identical) near-dup pairs: the round-2
+    # single-band scheme (== bands=1) misses every pair where any one of its
+    # sign bits flips; OR-amplification (match ANY of 8 bands) recovers them
+    dim = 64
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    pert = base + 0.01 * rng.standard_normal((40, dim))
+    pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+    rows = [(i, base[i].astype(float).tolist()) for i in range(40)] + \
+           [(i + 1000, pert[i].astype(float).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    true_pairs = {(i, i + 1000) for i in range(40)
+                  if float(base[i] @ pert[i]) >= 0.99}
+    assert len(true_pairs) >= 20  # the perturbation keeps most pairs above
+    single = {(r.a, r.b) for r in similarity.embedding_near_duplicates(
+        df, dim, threshold=0.99, bands=1, planes_per_band=16).collect()}
+    banded = {(r.a, r.b) for r in similarity.embedding_near_duplicates(
+        df, dim, threshold=0.99, bands=8, planes_per_band=16).collect()}
+    # single-band must demonstrably miss some true pairs; banded finds all
+    assert true_pairs - single, "single-band unexpectedly found everything"
+    assert true_pairs <= banded
+
+
+def test_lsh_hot_bucket_cap(spark):
+    # a degenerate corpus (one embedding repeated) with max_bucket set must
+    # not emit the quadratic candidate set
+    dim = 8
+    v = [1.0] * dim
+    rows = [(i, v) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.embedding_near_duplicates(
+        df, dim, threshold=0.999, max_bucket=50)
+    assert out.count() == 0  # every band bucket is hot -> capped away
 
 
 def test_embedding_near_duplicates(spark, emb):
