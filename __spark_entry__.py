@@ -289,6 +289,159 @@ def q_geo_overlay_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_dimension(inter).alias("inter_dim"))
 
 
+_EARTH_R = 6371010.0
+
+# buffer-parameter rows for q_geo_buffer_area: (pid, radius_m, quad_segs);
+# radii chosen so the engine's n-gon area and the analytic closed form land
+# in the same 1e6-m^2 bucket with wide margin (verified in tests)
+_BUFFER_PARAMS = [(1, 100_000.0, 8), (2, 250_000.0, 4), (3, 500_000.0, 8),
+                  (4, 1_000_000.0, 6), (5, 3_000_000.0, 8), (6, 50_000.0, 3)]
+
+
+def q_geo_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_buffer on points, ORACLED by the analytic area of a regular
+    spherical n-gon: a point buffer is a geodesic circle with 4*quad_segs
+    equally spaced vertices (build.cc:1610-1718 point layer), whose exact
+    spherical area is n * E * R^2 with E the spherical excess of the
+    isoceles center triangle (L'Huilier-style closed form the SQL oracle
+    recomputes from scratch).  Buckets at 1e6 m^2 (engine-vs-analytic
+    agreement is ~1e-8 relative at these radii)."""
+    from s2geography_spark.functions.geo import (st_area, st_npoints,
+                                                 st_buffer_quadsegs,
+                                                 _point_wkb_udf)
+    rows = [(pid, r, qs,
+             float((pid * 37) % 300 - 150) + 0.125,
+             float((pid * 23) % 120 - 60) + 0.125)
+            for pid, r, qs in _BUFFER_PARAMS]
+    df = spark.createDataFrame(
+        rows, "pid long, radius_m double, quad_segs int, lng double, lat double")
+    buf = st_buffer_quadsegs(_point_wkb_udf(F.col("lng"), F.col("lat")),
+                             F.col("radius_m"), F.col("quad_segs"))
+    return df.select(
+        "pid",
+        st_npoints(buf).alias("nv"),
+        F.floor(st_area(buf) / 1e6).cast("long").alias("area_bucket"))
+
+
+def q_geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2ConvexHullAggregator (two-phase partial hulls) over per-group
+    points planted on a geodesic circle (direct-geodesic formula, pure
+    Column trig) — every point is in convex position, so the hull is
+    exactly the inscribed regular n-gon: vertex count n and the analytic
+    n-gon area are the oracle."""
+    from s2geography_spark.functions.geo import (st_area, st_npoints,
+                                                 _point_wkb_udf)
+    from s2geography_spark.operators.aggregates import convex_hull_agg
+    groups = [(g,
+               float((g * 37) % 300 - 150) + 0.125,
+               float((g * 23) % 100 - 50) + 0.125,
+               0.02 + 0.005 * (g % 5),
+               8 + 4 * (g % 6))
+              for g in range(20)]
+    gdf = spark.createDataFrame(
+        groups, "g long, clng double, clat double, theta double, n int")
+    k = F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("k")
+    pts = gdf.select("g", "clng", "clat", "theta", "n", k)
+    # direct geodesic from the center at bearing 2*pi*k/n, angular
+    # distance theta (the same formula the DuckDB oracle evaluates)
+    al = 2.0 * F.lit(3.141592653589793) * F.col("k") / F.col("n")
+    f1 = F.radians("clat")
+    lat2 = F.asin(F.sin(f1) * F.cos("theta")
+                  + F.cos(f1) * F.sin("theta") * F.cos(al))
+    lng2 = F.radians("clng") + F.atan2(
+        F.sin(al) * F.sin("theta") * F.cos(f1),
+        F.cos("theta") - F.sin(f1) * F.sin(lat2))
+    pdf = pts.select("g", _point_wkb_udf(F.degrees(lng2),
+                                         F.degrees(lat2)).alias("geog"))
+    hull = convex_hull_agg(pdf, "geog", ["g"])
+    return hull.select(
+        "g",
+        st_npoints(F.col("hull")).alias("nv"),
+        F.floor(st_area(F.col("hull")) / 1e6).cast("long").alias("area_bucket"))
+
+
+def q_geo_maxdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_maxdistance (antipodal-reflection kernel, distance.cc analog)
+    from each customer point to the MULTIPOINT of its nation's supplier
+    points (built by S2UnionAggregator — union_agg — so the aggregate gets
+    an oracle row too): the exact answer is the max pairwise haversine,
+    which the SQL oracle computes directly."""
+    from s2geography_spark.functions.geo import st_maxdistance, _point_wkb_udf
+    from s2geography_spark.operators.aggregates import union_agg
+    cust = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 150)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .where(F.col("s_suppkey") <= 30) \
+        .select("s_suppkey", "s_nationkey",
+                (F.pmod(F.col("s_suppkey") * 41, F.lit(1440)) / 4.0 - 180.0 + 0.125).alias("slng"),
+                (F.pmod(F.col("s_suppkey") * 29, F.lit(640)) / 4.0 - 80.0 + 0.125).alias("slat"))
+    spts = supp.select("s_nationkey",
+                       _point_wkb_udf(F.col("slng"), F.col("slat")).alias("geog"))
+    multi = union_agg(spts, "geog", ["s_nationkey"])
+    pair = cust.join(multi, cust.c_nationkey == multi.s_nationkey)
+    d = st_maxdistance(_point_wkb_udf(F.col("lng"), F.col("lat")),
+                       F.col("geog_union"))
+    return pair.select("c_custkey",
+                       F.floor(d / 1000.0).cast("long").alias("maxdist_km"))
+
+
+def q_geo_closest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_closestpoint from a meridian LINESTRING to each customer point —
+    the foot of the great-circle perpendicular, which on a meridian has the
+    closed form lat_f = atan(tan(lat) / cos(lng - L)) (SQL-expressible).
+    The meridian offset 30..69 deg keeps the foot strictly interior to the
+    [-89, 89] segment, so the kernel's edge-interpolation path (not the
+    vertex shortcut) is what the oracle checks."""
+    from s2geography_spark.functions.geo import (st_closestpoint,
+                                                 st_geogfromtext, st_x, st_y,
+                                                 _point_wkb_udf)
+    cust = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 300)
+    lraw = F.col("lng") - 30.0 - F.pmod(F.col("c_custkey"), F.lit(40))
+    L = F.when(lraw < -180.0, lraw + 360.0).otherwise(lraw)
+    # lng values are exact multiples of 1/8 deg, so %.3f text is lossless
+    wkt = F.format_string("LINESTRING (%.3f -89, %.3f 89)", L, L)
+    cp = st_closestpoint(st_geogfromtext(wkt),
+                         _point_wkb_udf(F.col("lng"), F.col("lat")))
+    return cust.select(
+        "c_custkey",
+        F.round(st_x(cp), 6).alias("cp_lng"),
+        F.round(st_y(cp), 6).alias("cp_lat"))
+
+
+def q_geo_line_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing on meridian lines, where both directions have
+    exact closed forms: st_lineinterpolatepoint at fraction f on the
+    meridian from lat -80 to 80 lands at lat = -80 + 160*f exactly, and
+    st_linelocatepoint of the customer's own point on its meridian is
+    (lat + 80) / 160 exactly (arc length is linear in latitude)."""
+    from s2geography_spark.functions.geo import (st_geogfromtext,
+                                                 st_lineinterpolatepoint,
+                                                 st_linelocatepoint, st_y,
+                                                 _point_wkb_udf)
+    cust = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 500)
+    wkt = F.format_string("LINESTRING (%.3f -80, %.3f 80)",
+                          F.col("lng"), F.col("lng"))
+    line = st_geogfromtext(wkt)
+    f = F.pmod(F.col("c_custkey"), F.lit(10)) / 10.0
+    interp = st_lineinterpolatepoint(line, f)
+    frac = st_linelocatepoint(line, _point_wkb_udf(F.col("lng"), F.col("lat")))
+    return cust.select(
+        "c_custkey",
+        F.round(st_y(interp), 6).alias("interp_lat"),
+        F.round(frac, 6).alias("locate_frac"))
+
+
+def q_geo_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_perimeter of every densified region rectangle vs the closed form:
+    meridian edges are exact R*dlat arcs; the 1-deg-step parallel chains
+    are (lng1-lng0) geodesic hops of length 2R*asin(cos(lat)*sin(0.5deg))
+    each — all SQL trig."""
+    from s2geography_spark.functions.geo import st_perimeter
+    return _regions(spark).select(
+        "region_id",
+        F.floor(st_perimeter(F.col("geog")) / 100.0).cast("long")
+         .alias("perim_bucket"))
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / similarity pipeline queries
 # ---------------------------------------------------------------------------
@@ -500,6 +653,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_overlay_adjacent": q_geo_overlay_adjacent,
         "geo_dwithin_500km": q_geo_dwithin_500km,
         "geo_distance_km": q_geo_distance_km,
+        "geo_buffer_area": q_geo_buffer_area,
+        "geo_convex_hull": q_geo_convex_hull,
+        "geo_maxdistance": q_geo_maxdistance,
+        "geo_closest_point": q_geo_closest_point,
+        "geo_line_interp": q_geo_line_interp,
+        "geo_perimeter": q_geo_perimeter,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
@@ -616,6 +775,90 @@ def oracle_sql() -> dict[str, str]:
                     * (sin(radians(ilat1)) - sin(radians(ilat0)))
                     * radians(ilng1 - ilng0) / 1e10) AS BIGINT) AS area_bucket
         FROM p
+    """
+
+    # regular-spherical-n-gon area closed form, shared by the buffer and
+    # convex-hull oracles: n isoceles center triangles with two sides th
+    # and apex 2*pi/n; spherical excess E = A + 2*B - pi per triangle
+    _ngon = """
+        SELECT *, (2*pi()/n) + 2*asin(sin(2*pi()/n)*sin(th)
+                 / sin(acos(cos(th)*cos(th) + sin(th)*sin(th)*cos(2*pi()/n))))
+                 - pi() AS excess
+        FROM base
+    """
+
+    sqls["geo_buffer_area"] = f"""
+        WITH params(pid, radius_m, quad_segs) AS (VALUES
+            {', '.join(f'({p}, {r!r}, {q})' for p, r, q in _BUFFER_PARAMS)}),
+        base AS (SELECT pid, 4*quad_segs AS n, radius_m/6371010.0 AS th
+                 FROM params),
+        x AS ({_ngon})
+        SELECT pid, CAST(n AS INT) AS nv,
+               CAST(floor(n * excess * 6371010.0 * 6371010.0 / 1e6) AS BIGINT)
+                 AS area_bucket
+        FROM x
+    """
+
+    sqls["geo_convex_hull"] = f"""
+        WITH base AS (SELECT gg AS g, 0.02 + 0.005*(gg % 5) AS th,
+                             8 + 4*(gg % 6) AS n
+                      FROM (SELECT unnest(generate_series(0, 19)) AS gg)),
+        x AS ({_ngon})
+        SELECT g, CAST(n AS INT) AS nv,
+               CAST(floor(n * excess * 6371010.0 * 6371010.0 / 1e6) AS BIGINT)
+                 AS area_bucket
+        FROM x
+    """
+
+    sqls["geo_maxdistance"] = f"""
+        WITH cust AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 150),
+        supp AS (SELECT s_suppkey, s_nationkey,
+                        ((s_suppkey*41) % 1440)/4.0 - 180.0 + 0.125 AS slng,
+                        ((s_suppkey*29) % 640)/4.0 - 80.0 + 0.125 AS slat
+                 FROM supplier WHERE s_suppkey <= 30)
+        SELECT c.c_custkey,
+               CAST(floor(max(
+                 2*asin(sqrt( sin(radians(s.slat - c.lat)/2)*sin(radians(s.slat - c.lat)/2)
+                   + cos(radians(c.lat))*cos(radians(s.slat))
+                     * sin(radians(s.slng - c.lng)/2)*sin(radians(s.slng - c.lng)/2)))
+                 * 6371010.0) / 1000.0) AS BIGINT) AS maxdist_km
+        FROM cust c JOIN supp s ON c.c_nationkey = s.s_nationkey
+        GROUP BY c.c_custkey
+    """
+
+    sqls["geo_closest_point"] = f"""
+        WITH cust AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 300),
+        l AS (SELECT c_custkey, lng, lat,
+                     CASE WHEN lng - 30 - (c_custkey % 40) < -180
+                          THEN lng - 30 - (c_custkey % 40) + 360
+                          ELSE lng - 30 - (c_custkey % 40) END AS L
+              FROM cust)
+        SELECT c_custkey,
+               round(L, 6) AS cp_lng,
+               round(degrees(atan2(sin(radians(lat)),
+                     cos(radians(lat)) * cos(radians(lng - L)))), 6) AS cp_lat
+        FROM l
+    """
+
+    sqls["geo_line_interp"] = f"""
+        WITH cust AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 500)
+        SELECT c_custkey,
+               round(-80.0 + 160.0 * ((c_custkey % 10) / 10.0), 6) AS interp_lat,
+               round((lat + 80.0) / 160.0, 6) AS locate_frac
+        FROM cust
+    """
+
+    sqls["geo_perimeter"] = f"""
+        WITH reg AS ({_REG_SQL})
+        SELECT region_id,
+               CAST(floor((
+                   2.0 * radians(lat1 - lat0) * 6371010.0
+                 + (lng1 - lng0) * 2.0 * 6371010.0
+                     * asin(cos(radians(lat0)) * sin(radians(0.5)))
+                 + (lng1 - lng0) * 2.0 * 6371010.0
+                     * asin(cos(radians(lat1)) * sin(radians(0.5)))
+               ) / 100.0) AS BIGINT) AS perim_bucket
+        FROM reg
     """
 
     sqls["geo_dwithin_500km"] = f"""

@@ -137,6 +137,8 @@ def main():
     bench_queries = [
         "geo_pip_pairs", "geo_knn", "geo_dwithin_500km", "geo_bbox_nation",
         "geo_overlay_adjacent", "geo_tiles_z8", "geo_centroid_nation",
+        "geo_buffer_area", "geo_convex_hull", "geo_maxdistance",
+        "geo_closest_point", "geo_line_interp", "geo_perimeter",
         "text_stats", "lang_id", "dedup_exact", "minhash_lsh", "simhash",
         "ann_topk", "embedding_near_dup", "lineitem_agg", "events_window",
     ]
