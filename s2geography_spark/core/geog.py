@@ -285,7 +285,16 @@ class _Reader:
             has_z = True
             code -= 1000
         if has_srid:
+            (srid,) = struct.unpack_from(fmt + "I", self.buf, self.pos)
             self.pos += 4
+            # the engine (like the reference, geoarrow.h:40-51) interprets
+            # all coordinates as WGS84 lon/lat; accepting a foreign-SRID
+            # EWKB would silently reinterpret projected coordinates as
+            # degrees, so anything but 4326/0 is rejected loudly
+            if srid not in (0, 4326):
+                raise ValueError(
+                    f"EWKB SRID {srid} is not supported: geographies are "
+                    f"WGS84 lon/lat (SRID 4326); reproject before ingest")
         return fmt, code, has_z, has_m
 
     def _coords(self, fmt, n, has_z, has_m):

@@ -440,7 +440,20 @@ def st_geogfromtext(a: pd.Series) -> pd.Series:
 def st_geogfromwkb(a: pd.Series, oriented: pd.Series, planar: pd.Series) -> pd.Series:
     """Import WKB with the reference reader's options (geoarrow.h:40-76):
     oriented keeps ring winding as given; planar tessellates straight
-    lng/lat edges into geodesic chains (plate-carree import)."""
+    lng/lat edges into geodesic chains (plate-carree import).
+
+    KNOWN LIMIT (documented, ADVICE r2): the engine's inter-kernel
+    transport is plain WKB with ring normalization at decode, so an
+    oriented CW 'everything else' shell survives only as far as this UDF's
+    direct output — a DOWNSTREAM SQL kernel re-decodes with default
+    normalization and sees the small CCW polygon instead of the
+    complement.  Pipelines needing complement semantics must consume the
+    oriented geography in the same kernel (the Python from_wkb path honors
+    oriented end-to-end, tests/test_geoarrow.py::test_polygon_oriented_
+    keeps_winding), or carry the region as its normalized complement
+    explicitly.  Carrying an orientation bit would require the tagged
+    encoding as transport for every kernel — out of scope while no oracle
+    query needs complement polygons."""
     out = []
     for b, o, p in zip(a, oriented, planar):
         if b is None or o is None or p is None:

@@ -117,7 +117,12 @@ def _worker_cache_get(key: str, build):
 def _build_padded_edges(wkbs: dict):
     """(id->row, edges_a (R, E, 3), edges_b (R, E, 3)) with per-region ring
     edges padded by degenerate (a == b) edges — a degenerate edge subtends a
-    zero turn angle, so padding never changes the winding number."""
+    zero turn angle, so padding never changes the winding number.
+
+    Both a float32 tensor (the hot-loop default: halves memory traffic of
+    the bandwidth-bound refine) and a float64 copy (the boundary-band
+    recheck path) are kept; broadcastable dims are small, so the extra copy
+    is bounded by the same broadcast guardrail."""
     ids = sorted(wkbs)
     eas, ebs = [], []
     for r in ids:
@@ -127,19 +132,48 @@ def _build_padded_edges(wkbs: dict):
         ebs.append(rb)
     emax = max((len(a) for a in eas), default=1) or 1
     R = len(ids)
-    # float32: winding decisions have O(0.1 deg) geometric margin, far above
-    # float32 eps; halves the memory traffic of the bandwidth-bound refine
-    pa = np.zeros((R, emax, 3), dtype=np.float32)
-    pb = np.zeros((R, emax, 3), dtype=np.float32)
-    pa[:, :, 0] = 1.0  # unit dummy vertex (degenerate edge = zero turn)
-    pb[:, :, 0] = 1.0
+    pa64 = np.zeros((R, emax, 3), dtype=np.float64)
+    pb64 = np.zeros((R, emax, 3), dtype=np.float64)
+    pa64[:, :, 0] = 1.0  # unit dummy vertex (degenerate edge = zero turn)
+    pb64[:, :, 0] = 1.0
     for i, (a, b) in enumerate(zip(eas, ebs)):
         if len(a):
-            pa[i, :len(a)] = a
-            pb[i, :len(b)] = b
+            pa64[i, :len(a)] = a
+            pb64[i, :len(b)] = b
     row_of = {r: i for i, r in enumerate(ids)}
     has_rings = np.array([len(a) > 0 for a in eas])
-    return row_of, pa, pb, has_rings
+    return row_of, pa64.astype(np.float32), pb64.astype(np.float32), \
+        has_rings, pa64, pb64
+
+
+def _winding_positive(pa, pb, rrows, xyz, chunk):
+    """Gathered winding-number pass: for row i, winding of xyz[i] w.r.t.
+    the edge block pa[rrows[i]], pb[rrows[i]].  Returns (positive mask,
+    near-boundary mask) where 'near' flags rows whose float32 winding could
+    differ from float64, via two signatures:
+      * any per-edge subtended angle approaches pi (point within the float
+        error band of an edge INTERIOR sees that edge at ~pi), or
+      * any edge's s^2+c^2 = |da|^2*|db|^2 is tiny (point near an edge
+        VERTEX: a projected endpoint vector vanishes, making the angle
+        numerically meaningless — the max-angle test alone misses this)."""
+    n = len(rrows)
+    pos = np.zeros(n, dtype=bool)
+    near = np.zeros(n, dtype=bool)
+    for lo in range(0, n, chunk):
+        sl = slice(lo, min(lo + chunk, n))
+        a = pa[rrows[sl]]            # (m, E, 3)
+        b = pb[rrows[sl]]
+        p = xyz[sl][:, None, :]      # (m, 1, 3)
+        da = a - sphere.dot(a, p)[..., None] * p
+        db = b - sphere.dot(b, p)[..., None] * p
+        s = sphere.dot(np.cross(da, db), p)
+        c = sphere.dot(da, db)
+        ang = np.arctan2(s, c)
+        w = np.rint(ang.sum(axis=1, dtype=np.float64) / (2.0 * np.pi))
+        pos[sl] = w > 0
+        near[sl] = (np.abs(ang).max(axis=1) > (np.pi - 1e-3)) \
+            | ((s * s + c * c) < 4e-6).any(axis=1)
+    return pos, near
 
 
 def _refine_by_region_udf(bc, cache_key: str, chunk: int = 8192):
@@ -159,14 +193,20 @@ def _refine_by_region_udf(bc, cache_key: str, chunk: int = 8192):
     for points exactly ON a region edge (measure-zero for float inputs);
     that float-level boundary behavior matches the reference's for
     non-exact inputs.  There is deliberately no 'model' parameter: this
-    path serves both predicates under that documented tolerance."""
+    path serves both predicates under that documented tolerance.
+
+    Boundary-band recheck: rows whose winding pass sees any edge at an
+    angle within 1e-3 of pi (the signature of a point within the float32
+    error band of a boundary) are re-evaluated with float64 edges and
+    coordinates, so this path agrees bit-for-bit with the float64 shuffle
+    refine even for points planted micrometres from an edge."""
 
     @pandas_udf(T.BooleanType())
     def udf(rid: pd.Series, lng: pd.Series, lat: pd.Series,
             full: pd.Series) -> pd.Series:
         state = _worker_cache_get(cache_key,
                                   lambda: _build_padded_edges(bc.value))
-        row_of, pa, pb, has_rings = state
+        row_of, pa, pb, has_rings, pa64, pb64 = state
         n = len(rid)
         lngv = lng.to_numpy(dtype=np.float64)
         latv = lat.to_numpy(dtype=np.float64)
@@ -177,23 +217,15 @@ def _refine_by_region_udf(bc, cache_key: str, chunk: int = 8192):
         todo = np.where(~fullv & ~bad)[0]
         res = fullv.copy()
         if len(todo):
-            xyz = np.stack(C.lnglat_to_xyz(lngv[todo], latv[todo]),
-                           axis=-1).astype(np.float32)
+            xyz64 = np.stack(C.lnglat_to_xyz(lngv[todo], latv[todo]), axis=-1)
             rrows = np.array([row_of.get(r, 0) for r in rids[todo]],
                              dtype=np.int64)
-            sub = np.zeros(len(todo), dtype=bool)
-            for lo in range(0, len(todo), chunk):
-                sl = slice(lo, min(lo + chunk, len(todo)))
-                a = pa[rrows[sl]]            # (m, E, 3) float32
-                b = pb[rrows[sl]]
-                p = xyz[sl][:, None, :]      # (m, 1, 3)
-                da = a - sphere.dot(a, p)[..., None] * p
-                db = b - sphere.dot(b, p)[..., None] * p
-                s = sphere.dot(np.cross(da, db), p)
-                c = sphere.dot(da, db)
-                w = np.rint(np.arctan2(s, c).sum(axis=1, dtype=np.float64)
-                            / (2.0 * np.pi))
-                sub[sl] = w > 0
+            sub, near = _winding_positive(pa, pb, rrows,
+                                          xyz64.astype(np.float32), chunk)
+            if near.any():
+                nz = np.where(near)[0]
+                sub[nz], _ = _winding_positive(pa64, pb64, rrows[nz],
+                                               xyz64[nz], chunk)
             sub &= has_rings[rrows]
             res[todo] = sub
         out = pd.Series(res, dtype=object)

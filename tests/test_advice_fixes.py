@@ -165,3 +165,22 @@ def test_checkpoint_rejects_uri_scheme(spark, tmp_path):
     out = checkpointed_stage(spark, str(tmp_path / "s1"), "s1",
                              lambda: spark.range(3))
     assert out.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# 5. EWKB SRID guard (round 3): non-4326 SRID raises instead of silently
+#    reinterpreting projected coordinates as lon/lat
+# ---------------------------------------------------------------------------
+
+def test_ewkb_foreign_srid_raises():
+    import struct
+    from s2geography_spark.core.geog import from_wkb
+    # EWKB point with SRID flag (0x20000000): SRID 3857, coords in meters
+    ewkb_3857 = struct.pack("<bIIdd", 1, 0x20000001, 3857,
+                            1_000_000.0, 2_000_000.0)
+    with pytest.raises(ValueError, match="SRID 3857"):
+        from_wkb(ewkb_3857)
+    # SRID 4326 (and srid-less ISO WKB) still decode
+    ewkb_4326 = struct.pack("<bIIdd", 1, 0x20000001, 4326, -64.0, 45.0)
+    g = from_wkb(ewkb_4326)
+    assert tuple(g.points[0][:2]) == (-64.0, 45.0)

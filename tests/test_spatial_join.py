@@ -192,3 +192,38 @@ def test_spatial_join_index_mode_matches(spark, mentions):
     got = {(r.url, r.mention_idx, r.region_id)
            for r in joined.select("url", "mention_idx", "region_id").collect()}
     assert got == brute_force_pairs(mentions.limit(500).collect(), 24)
+
+
+def test_boundary_band_broadcast_matches_shuffle(spark):
+    """Round-3 fix: points planted within ~1 um .. 1 km of region edges get
+    identical join rows on the float32 broadcast refine (with its float64
+    boundary-band recheck) and the float64 shuffle refine."""
+    n_regions = 12
+    rs = np.arange(n_regions)
+    lng0, lat0, lng1, lat1 = region_corners(rs)
+    rows = []
+    pid = 0
+    # offsets in degrees: ~1 um .. ~1 km, both sides of each edge
+    for off in (1e-11, 1e-9, 1e-7, 1e-5, 1e-2):
+        for sign in (+off, -off):
+            for i in range(n_regions):
+                midx = (lng0[i] + lng1[i]) / 2.0
+                midy = (lat0[i] + lat1[i]) / 2.0
+                rows += [
+                    (pid + 0, float(midx), float(lat0[i] + sign)),  # bottom
+                    (pid + 1, float(midx), float(lat1[i] - sign)),  # top
+                    (pid + 2, float(lng0[i] + sign), float(midy)),  # left
+                    (pid + 3, float(lng1[i] - sign), float(midy)),  # right
+                ]
+                pid += 4
+    pts = spark.createDataFrame(rows, "pid long, lng double, lat double")
+    regions = regions_df(spark, n_regions, covering_level=6)
+    bcast = spatial_join(pts, regions, predicate="contains", level=6,
+                         broadcast=True)
+    shuf = spatial_join(pts, regions, predicate="contains", level=6,
+                        broadcast=False, refine_mode="rows")
+    got_b = {(r.pid, r.region_id) for r in bcast.collect()}
+    got_s = {(r.pid, r.region_id) for r in shuf.collect()}
+    assert got_b == got_s
+    # sanity: the inside-offset points actually joined
+    assert len(got_b) > len(rows) / 3
