@@ -140,6 +140,12 @@ def _build_padded_edges(wkbs: dict):
         if len(a):
             pa64[i, :len(a)] = a
             pb64[i, :len(b)] = b
+            # pad with the region's OWN first vertex (still degenerate =
+            # zero turn): a fixed (1,0,0) pad would sit in the data domain
+            # and spuriously trip the near-vertex recheck flag for every
+            # point near lng=0,lat=0
+            pa64[i, len(a):] = a[0]
+            pb64[i, len(a):] = a[0]
     row_of = {r: i for i, r in enumerate(ids)}
     has_rings = np.array([len(a) > 0 for a in eas])
     return row_of, pa64.astype(np.float32), pb64.astype(np.float32), \
@@ -153,9 +159,13 @@ def _winding_positive(pa, pb, rrows, xyz, chunk):
     differ from float64, via two signatures:
       * any per-edge subtended angle approaches pi (point within the float
         error band of an edge INTERIOR sees that edge at ~pi), or
-      * any edge's s^2+c^2 = |da|^2*|db|^2 is tiny (point near an edge
-        VERTEX: a projected endpoint vector vanishes, making the angle
-        numerically meaningless — the max-angle test alone misses this)."""
+      * any projected endpoint vector |da|^2 or |db|^2 < 1e-10 (point
+        within ~1e-5 rad ~ 64 m of an edge VERTEX, where the angle is
+        numerically meaningless — the max-angle test alone misses this).
+        |da|^2 is computed from the projected vector directly, NOT as
+        1-(a.p)^2 (which cancels catastrophically in float32); the 64 m
+        band is ~100x the float32 noise floor yet rare enough that the
+        float64 recheck stays off the hot path."""
     n = len(rrows)
     pos = np.zeros(n, dtype=bool)
     near = np.zeros(n, dtype=bool)
@@ -171,8 +181,9 @@ def _winding_positive(pa, pb, rrows, xyz, chunk):
         ang = np.arctan2(s, c)
         w = np.rint(ang.sum(axis=1, dtype=np.float64) / (2.0 * np.pi))
         pos[sl] = w > 0
+        n2 = np.minimum(sphere.dot(da, da), sphere.dot(db, db))
         near[sl] = (np.abs(ang).max(axis=1) > (np.pi - 1e-3)) \
-            | ((s * s + c * c) < 4e-6).any(axis=1)
+            | (n2.min(axis=1) < 1e-10)
     return pos, near
 
 
@@ -520,23 +531,54 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                                int(salt) if salt else 1)
 
     if refine_mode == "rows":
-        exploded = regions.withColumn("cell_id", F.explode(covering_col)) \
+        # bbox prefilter INSIDE the join condition (same rationale as the
+        # broadcast path: a post-join .where() would merge with the refine
+        # predicate and be pulled above ArrowEvalPython).  Dropping
+        # cell-matched-but-bbox-outside rows JVM-side cuts the Arrow hop
+        # into the Python refine — the WKB-per-candidate-row transfer that
+        # dominates this path's memory bandwidth — by the bbox selectivity
+        # (~10x on the synthetic corpus).  The bbox is one UDF pass over
+        # the DIM (pre-explode), not the fact.
+        from ..functions.geo import st_boundingbox
+        exploded = regions.withColumn("_bb", st_boundingbox(F.col(region_geog))) \
+            .withColumn("cell_id", F.explode(covering_col)) \
             .drop(covering_col) \
-            .withColumn("_ck", cell_join_key(F.col("cell_id"))).drop("cell_id")
+            .withColumn("_ck", cell_join_key(F.col("cell_id"))).drop("cell_id") \
+            .withColumn("_xmin", F.col("_bb.xmin")) \
+            .withColumn("_ymin", F.col("_bb.ymin")) \
+            .withColumn("_xmax", F.col("_bb.xmax")) \
+            .withColumn("_ymax", F.col("_bb.ymax")).drop("_bb")
+        # prune the internal leaf column BEFORE the fact-side exchange:
+        # only the join key + coordinates need to shuffle
+        pts = pts.withColumnRenamed("_ck", "_ckp").drop("_leaf")
         if salt:
             nsalt = int(salt)
             pts = pts.withColumn("_salt", F.pmod(F.hash(F.col(lng), F.col(lat)),
                                                  F.lit(nsalt)))
             exploded = exploded.withColumn(
-                "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
-            join_keys = ["_ck", "_salt"]
-        else:
-            join_keys = ["_ck"]
-        cand = pts.join(exploded, join_keys, "inner")
+                "_salt_r", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
+        eps = 1e-9
+        lat_ok = (pts[lat] >= exploded["_ymin"] - eps) & \
+            (pts[lat] <= exploded["_ymax"] + eps)
+        lng_in = F.when(
+            exploded["_xmin"] <= exploded["_xmax"],
+            (pts[lng] >= exploded["_xmin"] - eps)
+            & (pts[lng] <= exploded["_xmax"] + eps)
+        ).otherwise((pts[lng] >= exploded["_xmin"] - eps)
+                    | (pts[lng] <= exploded["_xmax"] + eps))
+        bbox_ok = exploded["_xmin"].isNull() | (lat_ok & lng_in)
+        cond = (pts["_ckp"] == exploded["_ck"]) & bbox_ok
+        if salt:
+            cond = cond & (pts["_salt"] == exploded["_salt_r"])
+        # SHUFFLE_HASH on the small exploded dim: without the hint the
+        # extra bbox condition makes Catalyst pick SortMergeJoin, which
+        # SORTS the whole fact side — the dominant cost at 10^8 rows
+        cand = pts.join(exploded.hint("SHUFFLE_HASH"), cond, "inner")
         model = "semi_open" if predicate == "contains" else "closed"
         refined = cand.where(_pip_refine_udf(model)(
             F.col(region_geog), F.col(lng), F.col(lat)))
-        drop_cols = ["_leaf", "_ck"] + (["_salt"] if salt else [])
+        drop_cols = ["_ckp", "_ck", "_xmin", "_ymin", "_xmax",
+                     "_ymax"] + (["_salt", "_salt_r"] if salt else [])
         return refined.drop(*drop_cols)
 
     # refine_mode == "cogroup": ids-only shuffle join then cogroup refine
