@@ -54,6 +54,53 @@ def materialize_mentions(spark, n_pages: int, path: str):
     return path
 
 
+def materialize_mentions_bucketed(spark, n_pages: int, table: str,
+                                  level: int = 6, n_buckets: int = 64):
+    """Bucketed-corpus ingest (the 100 TB shuffle-path answer): materialize
+    mentions WITH the fixed-level mixed join key and bucket the table by it.
+    The one-time bucketing shuffle is paid here; every subsequent
+    spatial_join(key_col='ck') — and every RERUN — then joins with NO
+    fact-side exchange (only the small exploded dim shuffles to the bucket
+    count).  Idempotent per table name."""
+    from pyspark.sql import functions as F
+    from s2geography_spark.functions.cells import cell_join_key, cell_parent
+    from s2geography_spark.operators.spatial_join import leaf_cell_udf
+    from s2geography_spark.sources.pages import (extract_mentions,
+                                                 gazetteer_df, pages_df)
+    if spark.catalog.tableExists(table):
+        return table
+    mentions = extract_mentions(pages_df(spark, n_pages), gazetteer_df(spark))
+    mentions = (mentions
+                .withColumn("leaf", leaf_cell_udf(F.col("lng"), F.col("lat")))
+                .withColumn("ck", cell_join_key(
+                    cell_parent(F.col("leaf"), level)))
+                .select("lng", "lat", "ck"))
+    (mentions.write.mode("overwrite")
+     .bucketBy(n_buckets, "ck").sortBy("ck")
+     .format("parquet").saveAsTable(table))
+    return table
+
+
+def run_join_bench_bucketed(spark, table: str):
+    """Shuffle-path join over the BUCKETED corpus: zero fact-side exchange
+    (plan-asserted), dim explodes + shuffles to the bucket count."""
+    from pyspark.sql import functions as F
+    from s2geography_spark.operators.spatial_join import spatial_join
+    from s2geography_spark.sources.regions import regions_df
+
+    mentions = spark.table(table)
+    regions = regions_df(spark, 96, covering_level=6)
+    t0 = time.time()
+    joined = spatial_join(mentions, regions, predicate="contains",
+                          broadcast=False, level=6, key_col="ck",
+                          refine_mode="rows")
+    out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
+    dt = time.time() - t0
+    rows_out = int(sum(r.n for r in out))
+    rows_in = mentions.count()
+    return int(rows_in), rows_out, dt
+
+
 _PREPARED = {}
 
 

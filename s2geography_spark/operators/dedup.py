@@ -27,15 +27,29 @@ from pyspark.sql.functions import pandas_udf
 # ---------------------------------------------------------------------------
 
 def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
-                           text: str = "text") -> DataFrame:
+                           text: str = "text",
+                           max_ids: int = 100_000) -> DataFrame:
     """Groups of byte-identical documents: (digest, n_docs, doc_ids, keep_id).
 
-    keep_id = min id (deterministic canonical representative)."""
-    return (df
-            .select(F.md5(F.col(text)).alias("digest"), F.col(id_col))
+    keep_id = min id (deterministic canonical representative).  doc_ids is
+    CAPPED at the max_ids smallest ids per group, bounded BEFORE the
+    aggregation buffer (rank-within-digest window, then a conditional
+    collect — collect_list skips nulls): an unbounded collect_list would
+    put a pathological group (one document duplicated 10^9 times) in a
+    single buffer row.  n_docs always reports the true count, and full
+    membership is recoverable by joining back on the digest (the keep-one
+    path, dedup_exact, never materializes the list at all).  The window
+    and the groupBy share the digest partitioning: one shuffle total."""
+    from pyspark.sql import Window as W
+    digested = df.select(F.md5(F.col(text)).alias("digest"), F.col(id_col))
+    rn = F.row_number().over(W.partitionBy("digest").orderBy(id_col))
+    return (digested
+            .withColumn("_rn", rn)
             .groupBy("digest")
             .agg(F.count("*").alias("n_docs"),
-                 F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+                 F.sort_array(F.collect_list(
+                     F.when(F.col("_rn") <= int(max_ids), F.col(id_col))))
+                 .alias("doc_ids"),
                  F.min(id_col).alias("keep_id"))
             .where(F.col("n_docs") > 1))
 

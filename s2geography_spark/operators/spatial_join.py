@@ -159,31 +159,36 @@ def _winding_positive(pa, pb, rrows, xyz, chunk):
     differ from float64, via two signatures:
       * any per-edge subtended angle approaches pi (point within the float
         error band of an edge INTERIOR sees that edge at ~pi), or
-      * any projected endpoint vector |da|^2 or |db|^2 < 1e-10 (point
-        within ~1e-5 rad ~ 64 m of an edge VERTEX, where the angle is
-        numerically meaningless — the max-angle test alone misses this).
-        |da|^2 is computed from the projected vector directly, NOT as
-        1-(a.p)^2 (which cancels catastrophically in float32); the 64 m
-        band is ~100x the float32 noise floor yet rare enough that the
-        float64 recheck stays off the hot path."""
+      * any projected endpoint vector |da|^2 = 1-(a.p)^2 or |db|^2 below
+        1e-6 (point within ~1e-3 rad ~ 6 km of an edge VERTEX, where the
+        angle is numerically meaningless — the max-angle test alone misses
+        this).  1-(a.p)^2 reuses the ALREADY-computed projection dot
+        products, so the flag costs only elementwise ops; float32
+        cancellation floors the computed value at eps ~ 1.2e-7, so the
+        threshold sits ~8x above the floor (a true on-vertex point cannot
+        escape the flag) and the ~6 km band only adds rare harmless
+        rechecks."""
     n = len(rrows)
     pos = np.zeros(n, dtype=bool)
     near = np.zeros(n, dtype=bool)
+    one = np.float32(1.0) if pa.dtype == np.float32 else 1.0
     for lo in range(0, n, chunk):
         sl = slice(lo, min(lo + chunk, n))
         a = pa[rrows[sl]]            # (m, E, 3)
         b = pb[rrows[sl]]
         p = xyz[sl][:, None, :]      # (m, 1, 3)
-        da = a - sphere.dot(a, p)[..., None] * p
-        db = b - sphere.dot(b, p)[..., None] * p
+        ap = sphere.dot(a, p)
+        bp = sphere.dot(b, p)
+        da = a - ap[..., None] * p
+        db = b - bp[..., None] * p
         s = sphere.dot(np.cross(da, db), p)
         c = sphere.dot(da, db)
         ang = np.arctan2(s, c)
         w = np.rint(ang.sum(axis=1, dtype=np.float64) / (2.0 * np.pi))
         pos[sl] = w > 0
-        n2 = np.minimum(sphere.dot(da, da), sphere.dot(db, db))
+        n2 = np.minimum(one - ap * ap, one - bp * bp)
         near[sl] = (np.abs(ang).max(axis=1) > (np.pi - 1e-3)) \
-            | (n2.min(axis=1) < 1e-10)
+            | (n2.min(axis=1) < 1e-6)
     return pos, near
 
 
@@ -408,6 +413,7 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                  salt: Optional[int] = None,
                  level: Optional[int] = None,
                  leaf_col: Optional[str] = None,
+                 key_col: Optional[str] = None,
                  refine_mode: str = "auto") -> DataFrame:
     """Join each point row to every region whose polygon satisfies
     `predicate` (contains/intersects) — the engine's flagship operator.
@@ -427,6 +433,16 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     leaf_col: name of a pre-computed leaf-cell column on the points side
     (the 'embedded covering' ingest pattern, geography_interface.h:150-158);
     when None the leaf id is computed here by a vectorized UDF.
+
+    key_col: name of a pre-computed fixed-level MIXED join-key column
+    (cell_join_key(cell_parent(leaf, level)) materialized at ingest).  The
+    join then uses that stored attribute directly, so a fact table BUCKETED
+    by it joins with NO fact-side exchange — the 100 TB pattern: pay the
+    bucketing shuffle once at ingest, run every subsequent join/rerun
+    exchange-free on the fact side (only the small exploded dim shuffles to
+    the bucket count).  Requires `level` to match the ingest level;
+    mutually exclusive with salting (a bucketed fact cannot re-key — rely
+    on AQE skew handling or finer buckets instead).
 
     regions may also be a :class:`PreparedRegions` (from prepare_regions) to
     amortize the dim-side preparation (broadcast, bbox, covering explode)
@@ -450,11 +466,22 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                                        region_id=region_id,
                                        covering_col=covering_col)
 
-    if leaf_col is not None:
+    if key_col is not None:
+        if level is None:
+            raise ValueError("key_col requires level (the ingest key level)")
+        if salt:
+            raise ValueError("key_col (bucketed fact) excludes salting")
+        # use the STORED key attribute: Catalyst only recognizes a bucketed
+        # scan's HashPartitioning when the join key IS that attribute (an
+        # equivalent expression over `leaf` would not match)
+        pts = points.withColumn("_leaf", F.lit(None).cast("long"))             .withColumn("_ck", F.col(key_col))
+    elif leaf_col is not None:
         pts = points.withColumn("_leaf", F.col(leaf_col))
     else:
         pts = points.withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
-    if level is not None:
+    if key_col is not None:
+        pass
+    elif level is not None:
         pts = pts.withColumn(
             "_ck", cell_join_key(cell_parent(F.col("_leaf"), int(level))))
     else:

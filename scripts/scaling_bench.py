@@ -47,6 +47,29 @@ print("RESULT " + json.dumps({{"cpus": {cpus}, "mentions": best[0],
     "rows_per_sec": round(best[0]/best[2], 1)}}))
 """
 
+# bucketed-corpus shuffle path: the fact table is bucketed by the join key
+# at ingest, so the join itself has NO fact-side exchange.  The table is
+# (re)created inside each child (Spark's default in-memory catalog does not
+# survive across sessions); creation is untimed.
+CHILD_BUCKET = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from s2geography_spark.session import get_spark
+from bench import materialize_mentions_bucketed, run_join_bench_bucketed
+spark = get_spark("scaling", cpus={cpus})
+spark.sql("DROP TABLE IF EXISTS mentions_bkt_scaling")
+materialize_mentions_bucketed(spark, {pages}, "mentions_bkt_scaling")
+run_join_bench_bucketed(spark, "mentions_bkt_scaling")  # warm-up
+best = None
+for _ in range({reps}):
+    ri, ro, dt = run_join_bench_bucketed(spark, "mentions_bkt_scaling")
+    if best is None or dt < best[2]:
+        best = (ri, ro, dt)
+print("RESULT " + json.dumps({{"cpus": {cpus}, "mentions": best[0],
+    "out": best[1], "sec": round(best[2], 3),
+    "rows_per_sec": round(best[0]/best[2], 1)}}))
+"""
+
 
 def run(code: str, timeout=1800) -> str:
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -67,16 +90,24 @@ def main():
     run(PREP.format(repo=REPO, pages=pages, path=path), timeout=1200)
     run(PREP.format(repo=REPO, pages=sh_pages, path=sh_path), timeout=1200)
 
+    # reps=6: this host's JVM keeps JIT-improving through ~5 executions of
+    # the same plan (measured 5.5 -> 3.9 s over 6 runs) and wall-clock
+    # drifts +-20-30% between runs; best-of-6 per level is the reproducible
+    # steady-state number
     levels = {}
     for cpus in (2, 8, 32):
         levels[cpus] = json.loads(run(CHILD.format(
-            repo=REPO, cpus=cpus, path=path, warm_path=warm, reps=4,
+            repo=REPO, cpus=cpus, path=path, warm_path=warm, reps=6,
             shuffle=False)))
     sh_levels = {}
     for cpus in (2, 8, 32):
         sh_levels[cpus] = json.loads(run(CHILD.format(
-            repo=REPO, cpus=cpus, path=sh_path, warm_path=warm, reps=3,
+            repo=REPO, cpus=cpus, path=sh_path, warm_path=warm, reps=6,
             shuffle=True)))
+    bk_levels = {}
+    for cpus in (2, 8, 32):
+        bk_levels[cpus] = json.loads(run(CHILD_BUCKET.format(
+            repo=REPO, cpus=cpus, pages=sh_pages, reps=6), timeout=3600))
 
     def eff(lv, lo, hi):
         return round((lv[hi]["rows_per_sec"] / lv[lo]["rows_per_sec"]) / 4.0, 3)
@@ -92,6 +123,9 @@ def main():
         "shuffle_levels": sh_levels,
         "shuffle_scaling_efficiency_2_to_8": eff(sh_levels, 2, 8),
         "shuffle_scaling_efficiency_8_to_32": eff(sh_levels, 8, 32),
+        "bucketed_levels": bk_levels,
+        "bucketed_scaling_efficiency_2_to_8": eff(bk_levels, 2, 8),
+        "bucketed_scaling_efficiency_8_to_32": eff(bk_levels, 8, 32),
         "target": ">= 0.8 for N -> 4N",
     }
     print(json.dumps(summary, indent=1))
@@ -102,6 +136,9 @@ def main():
     sh_rows = "\n".join(
         f"| local[{c}] | {v['sec']} | {v['rows_per_sec']:,.0f} |"
         for c, v in sorted(sh_levels.items()))
+    bk_rows = "\n".join(
+        f"| local[{c}] | {v['sec']} | {v['rows_per_sec']:,.0f} |"
+        for c, v in sorted(bk_levels.items()))
     md = f"""# BENCH/BASELINE — measured engine numbers
 
 ## Headline: spatial-join throughput (BASELINE.json metric)
@@ -138,6 +175,22 @@ Input: {sh_pages:,} pages -> {sh_levels[8]['mentions']:,} mentions,
 
 - N=2 -> 4N=8 cores: efficiency **{summary['shuffle_scaling_efficiency_2_to_8']}**
 - N=8 -> 4N=32 cores: efficiency **{summary['shuffle_scaling_efficiency_8_to_32']}**
+
+## Bucketed-corpus shuffle path (the 100 TB ingest pattern)
+
+The same non-broadcast join over a corpus BUCKETED by the fixed-level join
+key at ingest (`materialize_mentions_bucketed` -> `spatial_join(...,
+key_col='ck')`): the one-time bucketing shuffle is paid at ingest, after
+which the join plan has ZERO fact-side exchange (plan-asserted — the only
+Exchange is the 96-row dim exploding to the bucket count).  Same input and
+output as the shuffle table above.  Best of 6 runs per level after warm-up:
+
+| parallelism | wall sec | join rows/sec |
+|---|---|---|
+{bk_rows}
+
+- N=2 -> 4N=8 cores: efficiency **{summary['bucketed_scaling_efficiency_2_to_8']}**
+- N=8 -> 4N=32 cores: efficiency **{summary['bucketed_scaling_efficiency_8_to_32']}**
 
 ## Analysis
 

@@ -79,6 +79,11 @@ def test_exact_dedup(spark):
     assert groups[0].doc_ids == [1, 2, 4] and groups[0].keep_id == 1
     kept = dedup.dedup_exact(df).select("doc_id").collect()
     assert sorted(r.doc_id for r in kept) == [1, 3]
+    # max_ids caps the per-group id list (smallest ids) while n_docs stays
+    # the true count — the aggregation buffer is bounded before collect
+    capped = dedup.exact_duplicate_groups(df, max_ids=2).collect()
+    assert capped[0].doc_ids == [1, 2]
+    assert capped[0].n_docs == 3 and capped[0].keep_id == 1
 
 
 def _jaccard(a, b, n=3):
@@ -329,3 +334,34 @@ def test_multimodal_resize_and_frames(spark):
     for i, m in metas.items():
         if m.media_type == "image":
             assert feats[i][4] == m.width and feats[i][5] == m.height
+
+
+def test_png_codec_roundtrip_and_pipeline(spark):
+    """Round-3 real PNG codec (stdlib zlib): RGB/gray/RGBA roundtrips, and
+    the media pipeline decodes PNG rows (synth corpus alternates PPM/PNG)."""
+    from s2geography_spark.operators.multimodal import (decode_image,
+                                                        decode_png,
+                                                        encode_png,
+                                                        _synth_image)
+    img = _synth_image(11, 29, 17)
+    assert (decode_png(encode_png(img)) == img).all()
+    gray = img[:, :, 1]
+    assert (decode_png(encode_png(gray)) == gray).all()
+    rgba = np.dstack([img, gray])
+    assert (decode_png(encode_png(rgba)) == rgba).all()
+    assert (decode_image(encode_png(img)) == img).all()
+    # unsupported mode stays a clearly-marked seam
+    import pytest as _pytest
+    import struct as _struct, zlib as _zlib
+    from s2geography_spark.operators.multimodal import _PNG_SIG, _png_chunk
+    ihdr16 = _struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+    with _pytest.raises(NotImplementedError):
+        decode_png(bad)
+    # the media feature pipeline handles image/png rows end-to-end
+    media = synthesize_media_df(spark, 24)
+    png_ids = {r.id for r in media.where(
+        F.col("meta.codec") == "image/png").select("id").collect()}
+    assert png_ids, "synth corpus should contain PNG rows"
+    feats = {r.id: r for r in extract_media_features(media).collect()}
+    assert all(feats[i].ok for i in png_ids)

@@ -1,0 +1,100 @@
+"""Round-3 plan-shape assertions: the scale properties the queries claim
+are verified against the actual physical plans, not just prose."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_geo_overlap_area_no_nested_loop(spark):
+    import __spark_entry__ as E
+    plan = _plan(E.queries()["geo_overlap_area"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rows_mode_no_sort_merge_join(spark):
+    from s2geography_spark.operators.spatial_join import spatial_join
+    from s2geography_spark.sources.regions import regions_df
+    pts = spark.createDataFrame([(1, 10.0, 10.0)], "id long, lng double, lat double")
+    j = spatial_join(pts, regions_df(spark, 24, covering_level=6),
+                     predicate="contains", broadcast=False, salt=4, level=6,
+                     refine_mode="rows")
+    plan = _plan(j)
+    # the SHUFFLE_HASH hint must hold: SortMergeJoin would sort the whole
+    # fact side; and the bbox prefilter must be INSIDE the join condition
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "_xmin" in plan  # bbox columns participate in the join
+
+
+def test_geog_pair_join_hash_equi_join(spark):
+    from s2geography_spark.operators.spatial_join import geog_pair_join
+    from s2geography_spark.sources.regions import regions_df
+    a = regions_df(spark, 8).select(F.col("region_id").alias("ida"),
+                                    F.col("geog").alias("ga"))
+    b = regions_df(spark, 8).select(F.col("region_id").alias("idb"),
+                                    F.col("geog").alias("gb"))
+    j = geog_pair_join(a, b, left_id="ida", right_id="idb",
+                       left_geog="ga", right_geog="gb", level=6)
+    plan = _plan(j)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_covering_single_prelevel_job(spark):
+    """The radius-doubling loop must not run a Spark job per round just to
+    learn the covering level: buffered_covering_level is driver arithmetic."""
+    from s2geography_spark.core.ops import (buffered_covering_from_cells,
+                                            buffered_covering_level)
+    import numpy as np
+    from s2geography_spark.core import cellid as C
+    # the expanded covering's min level equals min(base min, level(radius))
+    base = C.from_lnglat(np.array([10.0]), np.array([10.0]))
+    base = C.parent(base, np.array([12]))
+    for radius in (1e4, 1e5, 1e6, 1e7):
+        cells = buffered_covering_from_cells(base.view(np.int64), radius)
+        got = min(C.level(np.array(cells, dtype=np.int64).view(np.uint64)))
+        assert got == min(12, buffered_covering_level(radius))
+
+
+def test_bucketed_fact_join_no_fact_exchange(spark):
+    """key_col over a bucketed fact: the join's ONLY exchange is the dim
+    side shuffling to the bucket count — the fact scan feeds the join
+    directly (the pay-bucketing-once-at-ingest 100 TB pattern)."""
+    from s2geography_spark.functions.cells import cell_join_key, cell_parent
+    from s2geography_spark.operators.spatial_join import (leaf_cell_udf,
+                                                          spatial_join)
+    from s2geography_spark.sources.regions import regions_df
+    pts = spark.createDataFrame(
+        [(x + 0.5, y + 0.5) for x in range(-150, 150, 4)
+         for y in range(-60, 60, 4)], "lng double, lat double")
+    pts = (pts.withColumn("leaf", leaf_cell_udf(F.col("lng"), F.col("lat")))
+           .withColumn("ck", cell_join_key(cell_parent(F.col("leaf"), 6))))
+    spark.sql("DROP TABLE IF EXISTS _bkt_plan_test")
+    (pts.write.mode("overwrite").bucketBy(8, "ck").sortBy("ck")
+     .format("parquet").saveAsTable("_bkt_plan_test"))
+    try:
+        j = spatial_join(spark.table("_bkt_plan_test"),
+                         regions_df(spark, 24, covering_level=6),
+                         predicate="contains", broadcast=False, level=6,
+                         key_col="ck", refine_mode="rows")
+        plan = _plan(j)
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan  # dim side only
+        # correctness unchanged vs the unbucketed rows mode
+        ref = spatial_join(spark.table("_bkt_plan_test"),
+                           regions_df(spark, 24, covering_level=6),
+                           predicate="contains", broadcast=False, level=6,
+                           leaf_col="leaf", refine_mode="rows")
+        got = {(r.lng, r.lat, r.region_id) for r in j.collect()}
+        exp = {(r.lng, r.lat, r.region_id) for r in ref.collect()}
+        assert got == exp and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _bkt_plan_test")
