@@ -97,9 +97,14 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("lat0") + F.col("lat1")) / 2.0).alias("geog"))
     # 5,000 km initial radius: most points resolve in round 1 while the
     # radius-doubling pruning still excludes the far hemisphere (a larger
-    # radius would degenerate toward the dense join)
+    # radius would degenerate toward the dense join).  max_rounds=2: after
+    # the 10,000 km round only a residue of far-from-everything points
+    # remains, and for those the dense broadcast fallback (the dim is 96
+    # rows) is both exact and cheaper than two more covering rounds of
+    # driver-coordinated jobs; at a non-broadcastable dim scale the caller
+    # leaves max_rounds=None and the doubling provably terminates instead.
     res = knn_join_covering(pts, centers, k=3, point_id="c_custkey",
-                            init_radius_m=5_000_000.0)
+                            init_radius_m=5_000_000.0, max_rounds=2)
     return res.select("c_custkey", "knn_rank", "region_id")
 
 

@@ -62,6 +62,7 @@ def materialize_mentions_bucketed(spark, n_pages: int, table: str,
     spatial_join(key_col='ck') — and every RERUN — then joins with NO
     fact-side exchange (only the small exploded dim shuffles to the bucket
     count).  Idempotent per table name."""
+    from urllib.parse import urlparse
     from pyspark.sql import functions as F
     from s2geography_spark.functions.cells import cell_join_key, cell_parent
     from s2geography_spark.operators.spatial_join import leaf_cell_udf
@@ -69,15 +70,32 @@ def materialize_mentions_bucketed(spark, n_pages: int, table: str,
                                                  gazetteer_df, pages_df)
     if spark.catalog.tableExists(table):
         return table
-    mentions = extract_mentions(pages_df(spark, n_pages), gazetteer_df(spark))
-    mentions = (mentions
-                .withColumn("leaf", leaf_cell_udf(F.col("lng"), F.col("lat")))
-                .withColumn("ck", cell_join_key(
-                    cell_parent(F.col("leaf"), level)))
-                .select("lng", "lat", "ck"))
-    (mentions.write.mode("overwrite")
-     .bucketBy(n_buckets, "ck").sortBy("ck")
-     .format("parquet").saveAsTable(table))
+    # Spark's default in-memory catalog forgets tables between sessions but
+    # the warehouse directory persists: if a prior session already paid the
+    # bucketed ingest, re-register the files as an external bucketed table
+    # (bucket ids are encoded in the file names, so the bucket spec in the
+    # DDL restores exchange-free joins without rewriting anything)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, table)
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        mentions = extract_mentions(pages_df(spark, n_pages),
+                                    gazetteer_df(spark))
+        mentions = (mentions
+                    .withColumn("leaf", leaf_cell_udf(F.col("lng"), F.col("lat")))
+                    .withColumn("ck", cell_join_key(
+                        cell_parent(F.col("leaf"), level)))
+                    .select("lng", "lat", "ck"))
+        (mentions.write.mode("overwrite")
+         .option("path", loc)
+         .bucketBy(n_buckets, "ck").sortBy("ck")
+         .format("parquet").saveAsTable(table))
+        return table
+    spark.sql(f"""
+        CREATE TABLE {table} (lng double, lat double, ck bigint)
+        USING parquet
+        CLUSTERED BY (ck) SORTED BY (ck) INTO {n_buckets} BUCKETS
+        LOCATION '{loc}'
+    """)
     return table
 
 

@@ -931,10 +931,13 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
                .select(point_id).distinct())
         part = (ranked.join(kth, point_id, "left_semi")
                 .where(F.col("knn_rank") <= k).select(*cols).persist())
-        part.count()
+        # ONE action per round: a resolved point contributes exactly k rows
+        # (rank 1..k all exist), so the remaining count is arithmetic —
+        # the round-2 loop paid a second count() job on the anti-join
+        n_part = part.count()
         resolved_parts.append(part)
         new_remaining = remaining.join(kth, point_id, "left_anti").persist()
-        n_remaining = new_remaining.count()
+        n_remaining -= n_part // k
         remaining.unpersist()
         remaining = new_remaining
         radius *= 2.0
