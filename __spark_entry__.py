@@ -109,24 +109,23 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geo_centroid_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed spherical centroid aggregate per nation — the
-    CentroidAggregator (accessors-geog.h:16-24) as pure Column math:
-    partial xyz sums merge associatively, Finalize normalizes."""
+    """Distributed spherical centroid aggregate per nation THROUGH the
+    engine's CentroidAggregator operator (aggregates.centroid_agg — the
+    reference accessors-geog.h:16-24 Add/Merge/Finalize contract on real
+    geography WKB): Add = per-geography centroid vector UDF, Merge = Spark
+    SUM partials (3 doubles per group on the wire), Finalize = normalize.
+    Round 3 computed this with inline Column trig that structurally
+    mirrored the DuckDB oracle; the oracle now checks the engine path."""
+    from s2geography_spark.functions.geo import _point_wkb_udf
+    from s2geography_spark.operators.aggregates import centroid_agg
     pts = _customer_points(spark, sf_dir)
-    xyz = pts.select(
-        "c_nationkey",
-        (F.cos(F.radians("lat")) * F.cos(F.radians("lng"))).alias("x"),
-        (F.cos(F.radians("lat")) * F.sin(F.radians("lng"))).alias("y"),
-        F.sin(F.radians("lat")).alias("z"))
-    agg = xyz.groupBy("c_nationkey").agg(
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.sum("z").alias("sz"))
+    geo = pts.select("c_nationkey",
+                     _point_wkb_udf(F.col("lng"), F.col("lat")).alias("geog"))
+    agg = centroid_agg(geo, "geog", ["c_nationkey"])
     return agg.select(
         "c_nationkey",
-        F.round(F.degrees(F.atan2("sy", "sx")), 6).alias("centroid_lng"),
-        F.round(F.degrees(F.atan2(F.col("sz"),
-                                  F.sqrt(F.col("sx") * F.col("sx")
-                                         + F.col("sy") * F.col("sy")))), 6)
-        .alias("centroid_lat"))
+        F.round("centroid_lng", 6).alias("centroid_lng"),
+        F.round("centroid_lat", 6).alias("centroid_lat"))
 
 
 def q_geo_tiles_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,13 +470,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups on a 32-char text prefix digest (hash groupBy;
-    prefixes collide in the synthetic corpus so groups are non-trivial)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pref = docs.select(F.md5(F.substring("text", 1, 32)).alias("digest"), "doc_id")
-    return (pref.groupBy("digest")
-            .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
-            .where(F.col("n_docs") > 1))
+    """Exact duplicate groups on a 32-char text prefix digest THROUGH the
+    engine operator (dedup.exact_duplicate_groups: digest hash groupBy with
+    a window-bounded member list; prefixes collide in the synthetic corpus
+    so groups are non-trivial).  Round 3 inlined the groupBy, mirroring the
+    oracle; the oracle now checks the operator path."""
+    from s2geography_spark.operators.dedup import exact_duplicate_groups
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", F.substring("text", 1, 32).alias("text"))
+    return exact_duplicate_groups(docs).select("digest", "n_docs", "keep_id")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,29 +504,35 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     corpus = docs.unionAll(clones)
     # ONE corpus scan: signature + band hashes + exact shingle-set digest
-    # from a single tokenization pass; persist the (small) derived frame so
-    # the band self-join's two branches read it instead of re-running the
-    # UDF (round 2 ran the tokenizer 3x and joined the digest back in two
-    # extra shuffles — 6.7 s at sf0.1; this plan is band-join-bound)
+    # from a single tokenization pass.  Candidate generation is a
+    # groupBy-bucket plan, not a self-join: collect each (band, band_hash)
+    # bucket's members and emit pairs by double-explode — ONE shuffle, one
+    # UDF pass, and no .persist() (the round-3 self-join needed a persisted
+    # intermediate to avoid re-running the tokenizer on both branches,
+    # which leaked cached blocks across suite runs).  Bucket occupancy is
+    # bounded in this corpus (planted clones only); the production
+    # operator (operators/dedup.py) adds hot-bucket caps for skew.
     sbd = (corpus.select("doc_id",
                          minhash_sig_bands_digest_udf()(F.col("text"))
                          .alias("_s"))
            .select("doc_id", F.col("_s.bands").alias("bands"),
                    F.col("_s.digest").alias("dg"))
-           .where(F.col("dg").isNotNull()).persist())
+           .where(F.col("dg").isNotNull()))
     banded = sbd.select("doc_id", "dg",
                         F.posexplode("bands").alias("band", "band_hash"))
-    a = banded.select("band", "band_hash", F.col("doc_id").alias("a"),
-                      F.col("dg").alias("dg_a"))
-    b = banded.select("band", "band_hash", F.col("doc_id").alias("b"),
-                      F.col("dg").alias("dg_b"))
-    # candidates from the banded LSH bucket join; the digest equality IS
-    # the exact verify (equal shingle sets => equal signatures => every
-    # band matches, so recall for the oracle's class is provably 1)
-    return (a.join(b, ["band", "band_hash"])
-            .where((F.col("a") < F.col("b"))
-                   & (F.col("dg_a") == F.col("dg_b")))
-            .select("a", "b").dropDuplicates(["a", "b"]))
+    buckets = (banded.groupBy("band", "band_hash")
+               .agg(F.collect_list(F.struct("doc_id", "dg")).alias("ms"))
+               .where(F.size("ms") > 1))
+    # pairs within each bucket; the digest equality IS the exact verify
+    # (equal shingle sets => equal signatures => every band matches, so
+    # recall for the oracle's class is provably 1)
+    return (buckets.select(F.explode("ms").alias("m1"), "ms")
+            .select("m1", F.explode("ms").alias("m2"))
+            .where((F.col("m1.doc_id") < F.col("m2.doc_id"))
+                   & (F.col("m1.dg") == F.col("m2.dg")))
+            .select(F.col("m1.doc_id").alias("a"),
+                    F.col("m2.doc_id").alias("b"))
+            .dropDuplicates(["a", "b"]))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,22 +552,29 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus scan: the simhash signature (vectorized UDF) and the
     # normalized-token-stream md5 verify key (pure Column, JVM-side —
     # md5 over text.lower().split() joined by spaces, exactly the
-    # simhash_udf tokenization) in the same projection; then a single
-    # self-join on the 64-bit signature (uniform key).  Hamming-0 pairs
-    # are exactly same-signature pairs, so this IS the candidate join;
-    # digest equality is the exact verify.  The hamming>0 banded path
-    # (block-combination keys) is exercised by the pytest worst-case
-    # recall tests (test_pipeline_ops.py).
+    # simhash_udf tokenization) in the same projection.  Hamming-0 pairs
+    # are exactly same-signature pairs, so one groupBy on the 64-bit
+    # signature (uniform key) collects each candidate group and a
+    # double-explode emits the pairs — ONE shuffle, one UDF pass, and no
+    # .persist() (the round-3 self-join leaked cached blocks).  Digest
+    # equality is the exact verify.  The hamming>0 banded path
+    # (block-combination keys) is oracled by q_simhash_banded and the
+    # pytest worst-case recall tests.
     sn = (corpus.select(
             "doc_id", simhash_udf()(F.col("text")).alias("sim"),
             F.md5(F.concat_ws(" ", F.split(F.trim(F.lower("text")), r"\s+")))
             .alias("nt"))
-          .where(F.col("sim").isNotNull()).persist())
-    na = sn.select("sim", F.col("doc_id").alias("a"), F.col("nt").alias("nt_a"))
-    nb = sn.select("sim", F.col("doc_id").alias("b"), F.col("nt").alias("nt_b"))
-    return (na.join(nb, "sim")
-            .where((F.col("a") < F.col("b")) & (F.col("nt_a") == F.col("nt_b")))
-            .select("a", "b", F.lit(0).cast("int").alias("hamming")))
+          .where(F.col("sim").isNotNull()))
+    groups = (sn.groupBy("sim")
+              .agg(F.collect_list(F.struct("doc_id", "nt")).alias("ms"))
+              .where(F.size("ms") > 1))
+    return (groups.select(F.explode("ms").alias("m1"), "ms")
+            .select("m1", F.explode("ms").alias("m2"))
+            .where((F.col("m1.doc_id") < F.col("m2.doc_id"))
+                   & (F.col("m1.nt") == F.col("m2.nt")))
+            .select(F.col("m1.doc_id").alias("a"),
+                    F.col("m2.doc_id").alias("b"),
+                    F.lit(0).cast("int").alias("hamming")))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -184,3 +184,68 @@ def test_ewkb_foreign_srid_raises():
     ewkb_4326 = struct.pack("<bIIdd", 1, 0x20000001, 4326, -64.0, 45.0)
     g = from_wkb(ewkb_4326)
     assert tuple(g.points[0][:2]) == (-64.0, 45.0)
+
+
+# ---------------------------------------------------------------------------
+# 6. fixed-level covering must emit EXACTLY level-L cells (round-3 ADVICE:
+#    the point fast path returned leaf cells, so point-vs-polygon pair joins
+#    silently produced zero candidates)
+# ---------------------------------------------------------------------------
+
+def test_fixed_level_covering_is_exact_level(spark):
+    from s2geography_spark.functions.geo import st_geogfromtext
+    from s2geography_spark.operators.spatial_join import \
+        fixed_level_covering_udf
+    df = spark.createDataFrame(
+        [("POINT (10 10)",),
+         ("MULTIPOINT (0 0, 90 45, -120 -30)",),
+         ("POLYGON ((9 9, 11 9, 11 11, 9 11, 9 9))",)], "wkt string")
+    cov = df.select(fixed_level_covering_udf(6)(
+        st_geogfromtext(F.col("wkt"))).alias("cells")).collect()
+    for row in cov:
+        arr = np.array(row.cells, dtype=np.int64).view(np.uint64)
+        assert len(arr) > 0
+        assert (C.level(arr) == 6).all()
+
+
+def test_geog_pair_join_point_vs_polygon_finds_pair(spark):
+    """A point inside a polygon must surface as a candidate pair."""
+    from s2geography_spark.functions.geo import st_geogfromtext
+    from s2geography_spark.operators.spatial_join import geog_pair_join
+    pts = spark.createDataFrame(
+        [(1, "POINT (10 10)"), (2, "POINT (-100 40)")], "ida long, wkt string"
+    ).select("ida", st_geogfromtext(F.col("wkt")).alias("ga"))
+    polys = spark.createDataFrame(
+        [(7, "POLYGON ((9 9, 11 9, 11 11, 9 11, 9 9))")],
+        "idb long, wkt string"
+    ).select("idb", st_geogfromtext(F.col("wkt")).alias("gb"))
+    j = geog_pair_join(pts, polys, left_id="ida", right_id="idb",
+                       left_geog="ga", right_geog="gb", level=6)
+    got = {(r.ida, r.idb) for r in j.select("ida", "idb").collect()}
+    assert (1, 7) in got
+    assert (2, 7) not in got
+
+
+# ---------------------------------------------------------------------------
+# 7. dedup driver queries must not leak persisted blocks (round-3 verdict:
+#    q_minhash_lsh / q_simhash persisted an intermediate and never released
+#    it; the groupBy-bucket plan needs no persist at all)
+# ---------------------------------------------------------------------------
+
+def test_dedup_queries_leave_no_cached_blocks(spark, tmp_path):
+    import __spark_entry__ as E
+    docs = spark.createDataFrame(
+        [(i, f"some document text number {i % 7} with words") for i in range(40)],
+        "doc_id long, text string")
+    d = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(d)
+    sf_dir = str(tmp_path)
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_cached()
+    for _ in range(3):
+        E.queries()["minhash_lsh"](spark, sf_dir).count()
+        E.queries()["simhash"](spark, sf_dir).count()
+    assert n_cached() == base

@@ -319,7 +319,7 @@ def test_multimodal_resize_and_frames(spark):
     metas = {r.id: r.meta for r in media.collect()}
     for i, m in metas.items():
         if m.media_type == "image":
-            img = M.decode_ppm(bytes(res[i]))
+            img = M.decode_image(bytes(res[i]))
             assert img.shape == (8, 8, 3)
         else:
             assert res[i] is None
