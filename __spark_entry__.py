@@ -188,20 +188,18 @@ def q_geo_distance_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.floor(d / 1000.0).cast("long").alias("dist_km"))
 
 
-def q_geo_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise region intersection AREAS via the general spherical overlay
-    (boundary algebra, core/overlay.py) — oracled by the exact lat/lng-box
-    spherical area formula R^2 * (sin(lat1)-sin(lat0)) * dlng_rad, bucketed
-    to 1e10 m^2 (densified-edge polygons track true boxes to ~1e-5 rel).
+def _overlap_pair_df(spark: SparkSession) -> DataFrame:
+    """Exact overlapping (region, shifted-region) pairs with both WKB
+    geography columns — the shared candidate machinery of the overlay
+    queries (q_geo_overlap_area, q_geo_difference).
 
     Plan: covering equi-join (geog_pair_join — both sides explode their
     fixed-level-6 coverings and hash-join on the cell key; NO
     BroadcastNestedLoopJoin / cartesian anywhere), bbox filter to the exact
-    positive-interior pair set, then the overlay refine.  O(covering
-    overlap), not O(N*M) — the plan survives both sides growing 100x."""
+    positive-interior pair set.  O(covering overlap), not O(N*M) — the
+    plan survives both sides growing 100x."""
     import numpy as np
     from s2geography_spark.core.geog import to_wkb
-    from s2geography_spark.functions.geo import st_intersection_area
     from s2geography_spark.operators.spatial_join import geog_pair_join
     from s2geography_spark.sources.regions import densified_rect, region_corners
 
@@ -227,16 +225,42 @@ def q_geo_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
                           level=6, left_covering="cov_a")
     # exact pair set: bbox overlap with positive interior (JVM-side);
     # coverings are supersets, so this only DROPS false candidates
-    pair = (cand
+    return (cand
             .join(a.select("ra", "alng0", "alat0", "alng1", "alat1"), "ra")
             .join(b.select("rb", "blng0", "blat0", "blng1", "blat1"), "rb")
             .where((F.greatest("alng0", "blng0") < F.least("alng1", "blng1"))
                    & (F.greatest("alat0", "blat0") < F.least("alat1", "blat1"))))
 
+
+def q_geo_overlap_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise region intersection AREAS via the general spherical overlay
+    (boundary algebra, core/overlay.py) — oracled by the exact lat/lng-box
+    spherical area formula R^2 * (sin(lat1)-sin(lat0)) * dlng_rad, bucketed
+    to 1e10 m^2 (densified-edge polygons track true boxes to ~1e-5 rel).
+    Candidate pairs come from _overlap_pair_df's covering equi-join."""
+    from s2geography_spark.functions.geo import st_intersection_area
+    pair = _overlap_pair_df(spark)
     return pair.select(
         "ra", "rb",
         F.floor(st_intersection_area("ga", "gb") / 1e10).cast("long")
          .alias("area_bucket"))
+
+
+def q_geo_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_difference / st_symdifference (build.cc:1387-1516 boundary
+    algebra) on the same overlapping pairs, ORACLED by box algebra:
+    area(a-b) = area(a) - area(a∩b) and area(aΔb) = area(a) + area(b)
+    - 2*area(a∩b), each term an exact spherical-rectangle closed form the
+    SQL oracle recomputes from the corner arithmetic."""
+    from s2geography_spark.functions.geo import (st_area, st_difference,
+                                                 st_symdifference)
+    pair = _overlap_pair_df(spark)
+    return pair.select(
+        "ra", "rb",
+        F.floor(st_area(st_difference("ga", "gb")) / 1e10).cast("long")
+         .alias("diff_bucket"),
+        F.floor(st_area(st_symdifference("ga", "gb")) / 1e10).cast("long")
+         .alias("sym_bucket"))
 
 
 def q_geo_dwithin_500km(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +468,120 @@ def q_geo_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_id",
         F.floor(st_perimeter(F.col("geog")) / 100.0).cast("long")
          .alias("perim_bucket"))
+
+
+def q_geo_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth table for st_equals / st_within / st_disjoint / st_touches
+    (predicates.cc:293-552 semantics) over each densified region rectangle
+    and four derived comparison rectangles whose ground truth is pure
+    corner arithmetic the SQL oracle recomputes: case 0 = the identical
+    rect (equals; within; NOT touches — interiors coincide), case 1 = a
+    0.5-deg inset rect (within only), case 2 = the east neighbor sharing
+    the full lng1 meridian edge (touches only), case 3 = a +10-deg-shifted
+    disjoint rect (disjoint only)."""
+    import numpy as np
+    from s2geography_spark.core.geog import to_wkb
+    from s2geography_spark.functions.geo import (st_disjoint, st_equals,
+                                                 st_touches, st_within)
+    from s2geography_spark.sources.regions import densified_rect, region_corners
+    rs = np.arange(N_REGIONS)
+    l0, t0, l1, t1 = region_corners(rs)
+    rows = []
+    for i, r in enumerate(rs):
+        al0, at0, al1, at1 = (float(l0[i]), float(t0[i]),
+                              float(l1[i]), float(t1[i]))
+        a = to_wkb(densified_rect(al0, at0, al1, at1))
+        for cs, (bl0, bt0, bl1, bt1) in enumerate([
+                (al0, at0, al1, at1),
+                (al0 + 0.5, at0 + 0.5, al1 - 0.5, at1 - 0.5),
+                (al1, at0, al1 + 2.0, at1),
+                (al0 + 10.0, at0, al1 + 10.0, at1)]):
+            rows.append((int(r), cs, a,
+                         to_wkb(densified_rect(bl0, bt0, bl1, bt1))))
+    df = spark.createDataFrame(rows, "region_id long, cs int, ga binary, gb binary")
+    return df.select(
+        "region_id", "cs",
+        st_equals("ga", "gb").alias("eq"),
+        st_within("gb", "ga").alias("win"),
+        st_disjoint("ga", "gb").alias("dis"),
+        st_touches("ga", "gb").alias("tch"))
+
+
+def q_geo_shortestline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_shortestline (distance.cc:656-706) from a meridian LINESTRING to
+    each customer point, endpoints read back with st_lineinterpolatepoint
+    at fractions 0 and 1: the start is the great-circle perpendicular foot
+    on the meridian (closed form lat_f = atan2(sin(lat), cos(lat)*cos(lng-L)),
+    same as geo_closest_point) and the end is the customer point itself."""
+    from s2geography_spark.functions.geo import (st_geogfromtext,
+                                                 st_lineinterpolatepoint,
+                                                 st_shortestline, st_x, st_y,
+                                                 _point_wkb_udf)
+    cust = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 300)
+    lraw = F.col("lng") - 30.0 - F.pmod(F.col("c_custkey"), F.lit(40))
+    L = F.when(lraw < -180.0, lraw + 360.0).otherwise(lraw)
+    wkt = F.format_string("LINESTRING (%.3f -89, %.3f 89)", L, L)
+    sl = st_shortestline(st_geogfromtext(wkt),
+                         _point_wkb_udf(F.col("lng"), F.col("lat")))
+    p0 = st_lineinterpolatepoint(sl, F.lit(0.0))
+    p1 = st_lineinterpolatepoint(sl, F.lit(1.0))
+    return cust.select(
+        "c_custkey",
+        F.round(st_x(p0), 6).alias("sl_lng0"),
+        F.round(st_y(p0), 6).alias("sl_lat0"),
+        F.round(st_x(p1), 6).alias("sl_lng1"),
+        F.round(st_y(p1), 6).alias("sl_lat1"))
+
+
+# simhash_banded signature plant: 8 byte lanes (top lane 7 bits -> 63-bit
+# signatures, no sign issues in either engine), multipliers small enough
+# that doc_id*K never overflows in DuckDB's checked BIGINT arithmetic
+_SIG_MULTS = [37, 59, 101, 151, 197, 251, 307, 353]
+
+
+def _sig_col(did):
+    """SQL-reproducible deterministic 63-bit signature from a doc id."""
+    acc = F.lit(0).cast("long")
+    for j, k in enumerate(_SIG_MULTS):
+        m = 128 if j == 7 else 256
+        acc = acc.bitwiseOR(F.shiftleft(
+            F.pmod(did * k + j * j * 1237, F.lit(m)).cast("long"), 8 * j))
+    return acc
+
+
+def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Manku block-combination banded join ITSELF at hamming 1..3
+    (simhash_sig_pairs: C(6,3)=20 combo keys over 6 signature blocks,
+    pigeonhole recall for hamming<=3), ORACLED against exact all-pairs
+    hamming: deterministic 63-bit signatures are planted from doc ids with
+    bit math both engines reproduce exactly, and each variant doc flips
+    1..3 signature bits.  The engine's banded candidate join + hamming
+    filter must return exactly the pairs the oracle finds by brute-force
+    bit_count(xor) <= 3 — recall AND precision of the banded path, not
+    just the hamming-0 equi-join q_simhash covers."""
+    from s2geography_spark.operators.dedup import simhash_sig_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id").where(F.col("doc_id") < 80)
+    base = docs.select(_sig_col(F.col("doc_id")).alias("sim"))
+    # variants: flip nflips = 1 + doc_id % 3 bits at doc_id-derived
+    # positions (bitwiseOR collapses colliding positions; the oracle's
+    # guarded xor construction is equivalent)
+    v = docs.select(
+        _sig_col(F.col("doc_id")).alias("s"),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).alias("nflips"),
+        F.pmod(F.col("doc_id") * 11, F.lit(63)).cast("int").alias("p0"),
+        F.pmod(F.col("doc_id") * 19 + 5, F.lit(63)).cast("int").alias("p1"),
+        F.pmod(F.col("doc_id") * 31 + 9, F.lit(63)).cast("int").alias("p2"))
+    bit = "shiftleft(CAST(1 AS BIGINT), {})"
+    mask = F.expr(bit.format("p0"))
+    mask = F.when(F.col("nflips") >= 2,
+                  mask.bitwiseOR(F.expr(bit.format("p1")))).otherwise(mask)
+    mask = F.when(F.col("nflips") >= 3,
+                  mask.bitwiseOR(F.expr(bit.format("p2")))).otherwise(mask)
+    variants = v.select(F.col("s").bitwiseXOR(mask).alias("sim"))
+    sigs = base.unionAll(variants).distinct()
+    return simhash_sig_pairs(sigs, max_hamming=3) \
+        .select("sim_a", "sim_b", "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -678,6 +816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_closest_point": q_geo_closest_point,
         "geo_line_interp": q_geo_line_interp,
         "geo_perimeter": q_geo_perimeter,
+        "geo_predicates": q_geo_predicates,
+        "geo_difference": q_geo_difference,
+        "geo_shortestline": q_geo_shortestline,
+        "simhash_banded": q_simhash_banded,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
@@ -878,6 +1020,102 @@ def oracle_sql() -> dict[str, str]:
                      * asin(cos(radians(lat1)) * sin(radians(0.5)))
                ) / 100.0) AS BIGINT) AS perim_bucket
         FROM reg
+    """
+
+    sqls["geo_predicates"] = f"""
+        WITH reg AS ({_REG_SQL}),
+        cases(cs) AS (VALUES (0), (1), (2), (3)),
+        b AS (SELECT region_id, cs,
+                     lng0 AS al0, lat0 AS at0, lng1 AS al1, lat1 AS at1,
+                     CASE cs WHEN 0 THEN lng0 WHEN 1 THEN lng0 + 0.5
+                             WHEN 2 THEN lng1 ELSE lng0 + 10 END AS bl0,
+                     CASE cs WHEN 1 THEN lat0 + 0.5 ELSE lat0 END AS bt0,
+                     CASE cs WHEN 0 THEN lng1 WHEN 1 THEN lng1 - 0.5
+                             WHEN 2 THEN lng1 + 2 ELSE lng1 + 10 END AS bl1,
+                     CASE cs WHEN 1 THEN lat1 - 0.5 ELSE lat1 END AS bt1
+              FROM reg CROSS JOIN cases)
+        SELECT region_id, cs,
+               (bl0 = al0 AND bt0 = at0 AND bl1 = al1 AND bt1 = at1) AS eq,
+               (bl0 >= al0 AND bt0 >= at0 AND bl1 <= al1 AND bt1 <= at1) AS win,
+               (bl0 > al1 OR bl1 < al0 OR bt0 > at1 OR bt1 < at0) AS dis,
+               (greatest(al0, bl0) <= least(al1, bl1)
+                AND greatest(at0, bt0) <= least(at1, bt1)
+                AND (greatest(al0, bl0) = least(al1, bl1)
+                     OR greatest(at0, bt0) = least(at1, bt1))) AS tch
+        FROM b
+    """
+
+    sqls["geo_difference"] = f"""
+        WITH reg AS ({_REG_SQL}),
+        regb AS (SELECT region_id + 1000 AS region_id, lng0 + 2 AS lng0,
+                        lat0 + 1 AS lat0, lng1 + 2 AS lng1, lat1 + 1 AS lat1
+                 FROM ({_REG_SQL})),
+        p AS (SELECT a.region_id AS ra, b.region_id AS rb,
+                     a.lng0 AS al0, a.lat0 AS at0, a.lng1 AS al1, a.lat1 AS at1,
+                     b.lng0 AS bl0, b.lat0 AS bt0, b.lng1 AS bl1, b.lat1 AS bt1,
+                     greatest(a.lng0, b.lng0) AS il0,
+                     least(a.lng1, b.lng1) AS il1,
+                     greatest(a.lat0, b.lat0) AS it0,
+                     least(a.lat1, b.lat1) AS it1
+              FROM reg a JOIN regb b ON true
+             WHERE greatest(a.lng0, b.lng0) < least(a.lng1, b.lng1)
+               AND greatest(a.lat0, b.lat0) < least(a.lat1, b.lat1)),
+        ar AS (SELECT ra, rb,
+                      6371010.0 * 6371010.0 * (sin(radians(at1)) - sin(radians(at0)))
+                        * radians(al1 - al0) AS area_a,
+                      6371010.0 * 6371010.0 * (sin(radians(bt1)) - sin(radians(bt0)))
+                        * radians(bl1 - bl0) AS area_b,
+                      6371010.0 * 6371010.0 * (sin(radians(it1)) - sin(radians(it0)))
+                        * radians(il1 - il0) AS area_i
+               FROM p)
+        SELECT ra, rb,
+               CAST(floor((area_a - area_i) / 1e10) AS BIGINT) AS diff_bucket,
+               CAST(floor((area_a + area_b - 2 * area_i) / 1e10) AS BIGINT) AS sym_bucket
+        FROM ar
+    """
+
+    sqls["geo_shortestline"] = f"""
+        WITH cust AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 300),
+        l AS (SELECT c_custkey, lng, lat,
+                     CASE WHEN lng - 30 - (c_custkey % 40) < -180
+                          THEN lng - 30 - (c_custkey % 40) + 360
+                          ELSE lng - 30 - (c_custkey % 40) END AS L
+              FROM cust)
+        SELECT c_custkey,
+               round(L, 6) AS sl_lng0,
+               round(degrees(atan2(sin(radians(lat)),
+                     cos(radians(lat)) * cos(radians(lng - L)))), 6) AS sl_lat0,
+               round(lng, 6) AS sl_lng1,
+               round(lat, 6) AS sl_lat1
+        FROM l
+    """
+
+    sqls["simhash_banded"] = f"""
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+        sig AS (SELECT doc_id,
+                  {' | '.join(f"(((doc_id * {k} + {j * j * 1237}) % {128 if j == 7 else 256})::BIGINT << {8 * j})"
+                              for j, k in enumerate(_SIG_MULTS))} AS s
+                FROM d),
+        var AS (SELECT doc_id, s,
+                       (doc_id % 3) + 1 AS nflips,
+                       (doc_id * 11) % 63 AS p0,
+                       (doc_id * 19 + 5) % 63 AS p1,
+                       (doc_id * 31 + 9) % 63 AS p2
+                FROM sig),
+        msk AS (SELECT doc_id, s,
+                       xor(xor(1::BIGINT << CAST(p0 AS INT),
+                               CASE WHEN nflips >= 2 AND p1 <> p0
+                                    THEN 1::BIGINT << CAST(p1 AS INT) ELSE 0 END),
+                           CASE WHEN nflips >= 3 AND p2 <> p0 AND p2 <> p1
+                                THEN 1::BIGINT << CAST(p2 AS INT) ELSE 0 END) AS m
+                FROM var),
+        allsig AS (SELECT DISTINCT s FROM (
+                     SELECT s FROM sig
+                     UNION ALL SELECT xor(s, m) AS s FROM msk))
+        SELECT a.s AS sim_a, b.s AS sim_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM allsig a JOIN allsig b ON a.s < b.s
+        WHERE bit_count(xor(a.s, b.s)) <= 3
     """
 
     sqls["geo_dwithin_500km"] = f"""

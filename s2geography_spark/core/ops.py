@@ -136,6 +136,73 @@ def _reflect(g: Geog) -> Geog:
                 polys=[[refl(r)[::-1] for r in rings] for rings in g.polys])
 
 
+def dist_to_points_rad(g: Geog, pts_xyz: np.ndarray) -> np.ndarray:
+    """Vectorized min distance (radians) from MANY points to ONE geography
+    — the factorize fast-path primitive shared by st_distance / st_dwithin
+    / st_maxdistance / the kNN refine (one NumPy pass per distinct
+    geography instead of a per-row Python kernel).  Empty geography ->
+    inf for every point."""
+    n = len(pts_xyz)
+    d = np.full(n, np.inf)
+    if n == 0 or g.is_empty():
+        return d
+    gp = g.points_xyz()
+    if len(gp):
+        d = np.minimum(d, sphere.angle(
+            pts_xyz[:, None, :], gp[None, :, :]).min(axis=1))
+    ea, eb = g.all_edges_xyz()
+    if len(ea):
+        d = np.minimum(d, sphere.point_arc_distance(
+            pts_xyz[:, None, :], ea[None, :, :], eb[None, :, :]).min(axis=1))
+    ra, rb = g.ring_edges_xyz()
+    if len(ra):
+        inside = sphere.contains_points(pts_xyz, ra, rb, model="closed")
+        d = np.where(inside, 0.0, d)
+    return d
+
+
+def max_dist_to_points_rad(g: Geog, pts_xyz: np.ndarray) -> np.ndarray:
+    """Vectorized max distance: pi - min d(g, antipode(p)) — the antipodal
+    reflection identity of s2_max_distance_radians, with the reflection
+    applied to the POINT side (antipode in xyz is just -p, exact)."""
+    return np.pi - dist_to_points_rad(g, -np.asarray(pts_xyz))
+
+
+def closest_points_on_geog(g: Geog, pts_xyz: np.ndarray) -> np.ndarray:
+    """(n, 3) closest point ON g for each query point, vectorized (XY
+    geographies only; ZM carriers fall back to s2_closest_point for the
+    interpolation path).  A point inside g's polygons maps to itself
+    (distance 0)."""
+    n = len(pts_xyz)
+    out = np.zeros((n, 3))
+    best = np.full(n, np.inf)
+    gp = g.points_xyz()
+    if len(gp):
+        dm = sphere.angle(pts_xyz[:, None, :], gp[None, :, :])
+        k = dm.argmin(axis=1)
+        dv = dm.min(axis=1)
+        upd = dv < best
+        out[upd] = gp[k[upd]]
+        best = np.where(upd, dv, best)
+    ea, eb = g.all_edges_xyz()
+    if len(ea):
+        dm = sphere.point_arc_distance(
+            pts_xyz[:, None, :], ea[None, :, :], eb[None, :, :])
+        k = dm.argmin(axis=1)
+        dv = dm.min(axis=1)
+        upd = dv < best
+        if upd.any():
+            out[upd] = sphere.closest_point_on_arc(
+                pts_xyz[upd], ea[k[upd]], eb[k[upd]])
+            best = np.where(upd, dv, best)
+    ra, rb = g.ring_edges_xyz()
+    if len(ra):
+        inside = sphere.contains_points(pts_xyz, ra, rb, model="closed")
+        if inside.any():
+            out[inside] = pts_xyz[inside]
+    return out
+
+
 def s2_dwithin(g1, g2, distance_m: float) -> Optional[bool]:
     """distance(a,b) <= d; negative d -> false (distance.cc:746-774)."""
     if g1 is None or g2 is None:
@@ -337,9 +404,46 @@ def s2_disjoint(g1, g2) -> Optional[bool]:
     return None if r is None else not r
 
 
+def _edges_cross_transversal(ea1, eb1, ea2, eb2, eps=1e-12):
+    """Proper crossings EXCLUDING endpoint-on-arc contact pairs: the
+    floating-point orientation test reports a 'crossing' when an endpoint
+    of one arc merely lies on the other arc (det ~ 1e-17, sign noise), so
+    contact configurations must not count as transversal."""
+    if len(ea1) == 0 or len(ea2) == 0:
+        return False
+    cr = sphere.arcs_cross(ea1[:, None, :], eb1[:, None, :],
+                           ea2[None, :, :], eb2[None, :, :])
+    if not cr.any():
+        return False
+    i, j = np.nonzero(cr)
+    a, b = ea1[i], eb1[i]
+    c, d = ea2[j], eb2[j]
+    contact = ((sphere.point_arc_distance(a, c, d) < eps)
+               | (sphere.point_arc_distance(b, c, d) < eps)
+               | (sphere.point_arc_distance(c, a, b) < eps)
+               | (sphere.point_arc_distance(d, a, b) < eps))
+    # coplanar pairs (both arcs on one great circle — e.g. disjoint
+    # segments of the same densified meridian) degenerate the orientation
+    # test to pure sign noise; they can never cross transversally
+    n = np.cross(a, b)
+    nn = np.linalg.norm(n, axis=-1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        n = n / np.where(nn == 0, 1.0, nn)
+    coplanar = ((np.abs(sphere.dot(n, c)) < eps)
+                & (np.abs(sphere.dot(n, d)) < eps))
+    return bool((~(contact | coplanar)).any())
+
+
 def s2_contains(g1, g2) -> Optional[bool]:
     """g1 contains g2; empties -> false; only polygonal g1 can contain
-    (predicates.cc:293-419: 'a point contains nothing')."""
+    (predicates.cc:293-419: 'a point contains nothing').
+
+    Pure point sets use the reference's semi-open PIP model
+    (S2ContainsPointQuery).  Polygonal/linear arguments follow the
+    S2BooleanOperation::Contains definition (g2 minus g1 is empty), so a
+    polygon contains itself and a geometry sharing stretches of the
+    boundary: every probe (vertex + edge midpoint) must be inside or ON
+    the boundary, and no edge may cross transversally."""
     if g1 is None or g2 is None:
         return None
     if g1.is_empty() or g2.is_empty():
@@ -347,16 +451,21 @@ def s2_contains(g1, g2) -> Optional[bool]:
     ra, rb = g1.ring_edges_xyz()
     if len(ra) == 0:
         return False
-    # all vertices of g2 inside (semi-open boundary model)
     v = g2.all_vertices_xyz()
     if len(v) == 0:
         return False
-    if not sphere.contains_points(v, ra, rb, model="semi_open").all():
-        return False
-    # no g2 edge may cross a ring edge (exit/entry)
     ea, eb = g2.all_edges_xyz()
-    if _edges_cross_any(ea, eb, ra, rb):
-        return False
+    if len(ea) == 0:
+        # pure point set: semi-open boundary model
+        if not sphere.contains_points(v, ra, rb, model="semi_open").all():
+            return False
+    else:
+        probes = np.vstack([v, sphere.normalize(ea + eb)])
+        if not sphere.contains_points(probes, ra, rb, model="closed",
+                                      eps=1e-12).all():
+            return False
+        if _edges_cross_transversal(ea, eb, ra, rb):
+            return False
     # a hole of g1 entirely inside g2 breaks containment without any
     # vertex/crossing evidence: test one vertex of every g1 hole ring
     ra2, rb2 = g2.ring_edges_xyz()
@@ -416,27 +525,123 @@ def s2_equals(g1, g2) -> Optional[bool]:
     return r1 == r2
 
 
+_TOUCH_EPS = 1e-12
+
+
+def _line_terminals_xyz(g):
+    """Terminal endpoints of every polyline (the line BOUNDARY in the
+    OPEN model)."""
+    ts = [sphere.lnglat_to_xyz(np.asarray([l[0], l[-1]], dtype=float))
+          for l in g.lines if len(l) >= 2]
+    return np.vstack(ts) if ts else np.zeros((0, 3))
+
+
+def _pts_interior_of_line(pts, g, eps=_TOUCH_EPS):
+    """Mask: points lying on g's line edges but not at a terminal endpoint
+    (i.e. inside the OPEN-model line interior)."""
+    la, lb = g.line_edges_xyz()
+    if len(la) == 0 or len(pts) == 0:
+        return np.zeros(len(pts), dtype=bool)
+    on = sphere.point_arc_distance(
+        pts[:, None, :], la[None, :, :], lb[None, :, :]).min(axis=1) < eps
+    term = _line_terminals_xyz(g)
+    if len(term):
+        at_term = sphere.angle(
+            pts[:, None, :], term[None, :, :]).min(axis=1) < eps
+        on &= ~at_term
+    return on
+
+
+def _interiors_intersect(g1, g2) -> bool:
+    """OPEN-model intersects — do the INTERIORS of g1 and g2 share a point?
+    (the second half of the reference touches identity, predicates.cc:61-73:
+    touches = intersects(CLOSED) && !intersects(OPEN)).
+
+    Witness search (each test is sound — it only returns True on a point
+    provably interior to both sides):
+      1. a proper edge crossing (lines included — a line's interior is its
+         edge interior, so testing only ring edges missed
+         line-through-polygon);
+      2. a vertex or edge MIDPOINT of one side strictly inside the other's
+         rings (midpoints catch boundary-collinear partial overlaps where
+         every vertex sits ON the other boundary);
+      3. identical polygons (boundaries coincide exactly, so no probe is
+         ever STRICTLY inside — but the interiors are equal);
+      4. line/line contact points — edge endpoints of one side lying on the
+         other's edges — that are interior to BOTH lines (crossing at an
+         internal vertex), plus midpoints of positive-length contact pairs
+         (collinear overlap: the shared sub-arc's midpoint is interior to
+         both even when its endpoints are terminals);
+      5. a point geography inside the other's rings is case 2; ON the
+         other's line interior is tested directly."""
+    ea1, eb1 = g1.all_edges_xyz()
+    ea2, eb2 = g2.all_edges_xyz()
+    # proper transversal crossings (endpoint-contact pairs are deferred to
+    # the sound witness probes below)
+    if _edges_cross_transversal(ea1, eb1, ea2, eb2):
+        return True
+    for (ga, ea, eb, gb) in ((g1, ea1, eb1, g2), (g2, ea2, eb2, g1)):
+        ra, rb = gb.ring_edges_xyz()
+        if len(ra):
+            probes = []
+            v = ga.all_vertices_xyz()
+            if len(v):
+                probes.append(v)
+            if len(ea):
+                probes.append(sphere.normalize(ea + eb))
+            if probes and sphere.contains_points(
+                    np.vstack(probes), ra, rb, model="open",
+                    eps=_TOUCH_EPS).any():
+                return True
+    if g1.polys and g2.polys and s2_equals(g1, g2):
+        return True
+    # point-point and point-on-line-interior coincidence
+    if len(g1.points) and len(g2.points):
+        if _min_pairwise_angle(g1.points_xyz(), g2.points_xyz()) < _TOUCH_EPS:
+            return True
+    for (ga, gb) in ((g1, g2), (g2, g1)):
+        if len(ga.points) and _pts_interior_of_line(ga.points_xyz(), gb).any():
+            return True
+    # line/line contacts
+    la1, lb1 = g1.line_edges_xyz()
+    la2, lb2 = g2.line_edges_xyz()
+    if len(la1) and len(la2):
+        cand = []
+        for p in (la1, lb1):
+            on2 = sphere.point_arc_distance(
+                p[:, None, :], la2[None, :, :],
+                lb2[None, :, :]).min(axis=1) < _TOUCH_EPS
+            if on2.any():
+                cand.append(p[on2])
+        for p in (la2, lb2):
+            on1 = sphere.point_arc_distance(
+                p[:, None, :], la1[None, :, :],
+                lb1[None, :, :]).min(axis=1) < _TOUCH_EPS
+            if on1.any():
+                cand.append(p[on1])
+        if cand:
+            contacts = np.vstack(cand)
+            probes = [contacts]
+            if len(contacts) >= 2:
+                i, j = np.triu_indices(len(contacts), 1)
+                pos = sphere.angle(contacts[i], contacts[j]) > _TOUCH_EPS
+                if pos.any():
+                    probes.append(sphere.normalize(
+                        contacts[i][pos] + contacts[j][pos]))
+            pr = np.vstack(probes)
+            if (_pts_interior_of_line(pr, g1)
+                    & _pts_interior_of_line(pr, g2)).any():
+                return True
+    return False
+
+
 def s2_touches(g1, g2) -> Optional[bool]:
-    """intersects(CLOSED) && !interiors-intersect (predicates.cc:61-73)."""
+    """intersects(CLOSED) && !intersects(OPEN) (predicates.cc:61-73)."""
     if g1 is None or g2 is None:
         return None
     if not s2_intersects(g1, g2):
         return False
-    # interiors intersect? a proper crossing of ANY edge of one side with
-    # ANY edge of the other (lines included — a line's interior is its edge
-    # interior, so testing only ring edges missed line-through-polygon),
-    # or a vertex strictly inside the other's rings
-    ea1, eb1 = g1.all_edges_xyz()
-    ea2, eb2 = g2.all_edges_xyz()
-    if _edges_cross_any(ea2, eb2, ea1, eb1):
-        return False
-    for (ga, gb) in ((g1, g2), (g2, g1)):
-        ra2, rb2 = ga.ring_edges_xyz()
-        if len(ra2):
-            v = gb.all_vertices_xyz()
-            if len(v) and sphere.contains_points(v, ra2, rb2, model="open").any():
-                return False
-    return True
+    return not _interiors_intersect(g1, g2)
 
 
 # ---------------------------------------------------------------------------
