@@ -167,8 +167,53 @@ st_disjoint = _binary_predicate(ops.s2_disjoint)
 st_equals = _binary_predicate(ops.s2_equals)
 
 
+_FACTORIZE_MAX_UNIQUE = 4096
+
+
+def _repeating_lhs_points_rhs(a: pd.Series, b: pd.Series):
+    """(codes, uniques, xyz, rhs_nan) when the rhs is all 2D point WKB and
+    the lhs repeats enough to amortize a per-distinct-geography NumPy pass
+    (the pd.factorize batching pattern of distance_to_geog_udf); else
+    None.  rhs_nan marks null OR empty rhs points."""
+    pts = _fast_points(b)
+    if pts is None:
+        return None
+    codes, uniques = pd.factorize(a, use_na_sentinel=True)
+    if (len(uniques) == 0 or len(uniques) > _FACTORIZE_MAX_UNIQUE
+            or len(a) < 2 * len(uniques)):
+        return None
+    lng, lat = pts
+    xyz = np.stack(C.lnglat_to_xyz(np.nan_to_num(lng), np.nan_to_num(lat)),
+                   axis=-1)
+    return codes, uniques, xyz, np.isnan(lng)
+
+
+def _dist_rad_factorized(fp) -> np.ndarray:
+    """Min distance (radians) per row for a factorized lhs x point rhs;
+    inf where the lhs geography is empty."""
+    codes, uniques, xyz, _ = fp
+    out = np.full(len(codes), np.inf)
+    for u, key in enumerate(uniques):
+        g = from_wkb(bytes(key))
+        rows = np.where(codes == u)[0]
+        out[rows] = ops.dist_to_points_rad(g, xyz[rows])
+    return out
+
+
 @pandas_udf(T.BooleanType())
 def st_dwithin(a: pd.Series, b: pd.Series, dist: pd.Series) -> pd.Series:
+    fp = _repeating_lhs_points_rhs(a, b)
+    if fp is not None:
+        codes, _, _, rhs_nan = fp
+        d = _dist_rad_factorized(fp) * ops.EARTH_RADIUS_METERS
+        dv = dist.astype("float64").to_numpy()
+        with np.errstate(invalid="ignore"):
+            res = (d <= dv) & (dv >= 0)  # empty lhs -> inf -> False
+        out = pd.Series(res, dtype=object)
+        bnull = b.isna().to_numpy()
+        out[rhs_nan & ~bnull] = False  # EMPTY rhs point -> distance None -> False
+        out[(codes < 0) | bnull | np.isnan(dv)] = None
+        return out
     ga = _decode_cache(a)
     gb = _decode_cache(b)
     return pd.Series([ops.s2_dwithin(x, y, d) if d is not None else None
@@ -188,6 +233,14 @@ def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
         out = pd.Series(d, dtype=object)
         out[bad] = None
         return out
+    # repeating general lhs x point rhs: one NumPy pass per distinct geog
+    fp = _repeating_lhs_points_rhs(a, b)
+    if fp is not None:
+        codes, _, _, rhs_nan = fp
+        d = _dist_rad_factorized(fp) * ops.EARTH_RADIUS_METERS
+        out = pd.Series(d, dtype=object)
+        out[~np.isfinite(d) | rhs_nan | (codes < 0)] = None
+        return out
     ga = _decode_cache(a)
     gb = _decode_cache(b)
     return pd.Series([ops.s2_distance(x, y) for x, y in zip(ga, gb)],
@@ -196,6 +249,19 @@ def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
 
 @pandas_udf(T.DoubleType())
 def st_maxdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    # repeating lhs x point rhs: pi - min d(g, -p), one pass per distinct g
+    fp = _repeating_lhs_points_rhs(a, b)
+    if fp is not None:
+        codes, uniques, xyz, rhs_nan = fp
+        out_r = np.full(len(codes), -np.inf)
+        for u, key in enumerate(uniques):
+            g = from_wkb(bytes(key))
+            rows = np.where(codes == u)[0]
+            out_r[rows] = ops.max_dist_to_points_rad(g, xyz[rows])
+        d = out_r * ops.EARTH_RADIUS_METERS
+        out = pd.Series(d, dtype=object)
+        out[~np.isfinite(d) | rhs_nan | (codes < 0)] = None
+        return out
     ga = _decode_cache(a)
     gb = _decode_cache(b)
     return pd.Series([ops.s2_max_distance(x, y) for x, y in zip(ga, gb)],
@@ -212,7 +278,36 @@ def _geog_to_geog(fn):
     return udf
 
 
-st_closestpoint = _geog_to_geog(ops.s2_closest_point)
+_closestpoint_scalar = _geog_to_geog(ops.s2_closest_point)
+
+
+@pandas_udf(T.BinaryType())
+def st_closestpoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Closest point on a to b; repeating-lhs x point-rhs batches without
+    nulls/empties/ZM take a vectorized path (one NumPy argmin pass per
+    distinct geography + batch point-WKB encode), everything else the
+    exact scalar kernel."""
+    fp = _repeating_lhs_points_rhs(a, b)
+    if fp is not None:
+        codes, uniques, xyz, rhs_nan = fp
+        if not rhs_nan.any() and codes.min() >= 0:
+            gs = [from_wkb(bytes(k)) for k in uniques]
+            if all(g.zm == (False, False) and not g.is_empty() for g in gs):
+                n = len(codes)
+                lng = np.empty(n)
+                lat = np.empty(n)
+                for u, g in enumerate(gs):
+                    rows = np.where(codes == u)[0]
+                    ll = sphere.xyz_to_lnglat(
+                        ops.closest_points_on_geog(g, xyz[rows]))
+                    lng[rows] = ll[:, 0]
+                    lat[rows] = ll[:, 1]
+                return _pack_point_rows(lng, lat)
+    return pd.Series([to_wkb(ops.s2_closest_point(x, y))
+                      for x, y in zip(_decode_cache(a), _decode_cache(b))],
+                     dtype=object)
+
+
 st_shortestline = _geog_to_geog(ops.s2_shortest_line)
 st_longestline = _geog_to_geog(ops.s2_longest_line)
 
@@ -713,18 +808,27 @@ def s2_cellunionbound(a: pd.Series) -> pd.Series:
 # pure-Column constructors (no UDF)
 # ---------------------------------------------------------------------------
 
-@pandas_udf(T.BinaryType())
-def _point_wkb_udf(lng: pd.Series, lat: pd.Series) -> pd.Series:
+def _pack_point_rows(lng, lat) -> pd.Series:
+    """Batch-encode (lng, lat) arrays to 21-byte 2D point WKB (one
+    frombuffer-level pass); NaN coordinates -> null."""
+    lng = np.asarray(lng, dtype="<f8")
+    lat = np.asarray(lat, dtype="<f8")
     n = len(lng)
     arr = np.empty((n, _POINT_WKB_LEN), dtype=np.uint8)
     arr[:, 0] = 1
     arr[:, 1:5] = np.frombuffer(b"\x01\x00\x00\x00", dtype=np.uint8)
-    arr[:, 5:13] = lng.to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
-    arr[:, 13:21] = lat.to_numpy(dtype="<f8").view(np.uint8).reshape(n, 8)
+    arr[:, 5:13] = lng.view(np.uint8).reshape(n, 8)
+    arr[:, 13:21] = lat.view(np.uint8).reshape(n, 8)
     rows = arr.tobytes()
-    null = (lng.isna() | lat.isna()).to_numpy()
+    null = np.isnan(lng) | np.isnan(lat)
     return pd.Series([None if null[i] else rows[i * 21:(i + 1) * 21]
                       for i in range(n)], dtype=object)
+
+
+@pandas_udf(T.BinaryType())
+def _point_wkb_udf(lng: pd.Series, lat: pd.Series) -> pd.Series:
+    return _pack_point_rows(lng.to_numpy(dtype="<f8"),
+                            lat.to_numpy(dtype="<f8"))
 
 
 def point_wkb_columns(lng_col, lat_col):

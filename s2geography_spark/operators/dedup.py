@@ -10,6 +10,17 @@ Four families, each a distinct scale/recall trade-off:
 All shuffles key on digests/band-hashes (uniform — no skew); hot shingles
 are df-capped to bound the inverted-index fan-out (standard practice: a
 shingle shared by >max_df docs carries no dedup signal).
+
+TOKENIZER SCOPE — ASCII word characters only.  The shingle/minhash
+tokenizers strip everything outside [a-zA-Z0-9_] + whitespace (Java regex
+\\w is ASCII, and the DuckDB oracles use the same class, so the three
+tokenizations agree by construction).  Consequence: documents written
+entirely in non-Latin scripts (CJK, Cyrillic, Arabic, ...) tokenize to an
+EMPTY shingle set, get a null digest, and are silently excluded from
+n-gram/minhash dedup — zero recall on such corpora.  For multilingual
+corpora, pre-transliterate or dedup those partitions with the
+script-agnostic exact/simhash paths (simhash_udf tokenizes on whitespace
+without punctuation stripping).
 """
 
 from __future__ import annotations

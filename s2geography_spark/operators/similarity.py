@@ -95,16 +95,25 @@ def lsh_band_keys_udf(dim: int, bands: int = 8, planes_per_band: int = 16,
     return udf
 
 
-def _cap_hot_buckets(keyed: DataFrame, key: str, max_bucket: int) -> DataFrame:
+def _cap_hot_buckets(keyed: DataFrame, key: str, max_bucket: int,
+                     stats_out: dict | None = None) -> DataFrame:
     """Drop band keys whose occupancy exceeds max_bucket — the df-cap guard
     for degenerate corpora (a boilerplate embedding repeated 10^6 times
     would otherwise pay a quadratic self-join in its bucket).  Recall
     caveat: pairs ONLY findable through a dropped hot bucket are lost;
     with OR-amplification a true near-pair usually shares several bands,
     so only mass-duplicated content is affected — dedup that with
-    exact/minhash first (it is byte-level duplication, not geometry)."""
+    exact/minhash first (it is byte-level duplication, not geometry).
+    In particular a vector duplicated past max_bucket in EVERY band loses
+    all of its buckets and returns zero pairs.
+
+    Pass stats_out={} to have the number of dropped hot buckets recorded
+    under 'dropped_hot_buckets' (runs one small count job), so silent
+    recall loss is observable instead of invisible."""
     hot = (keyed.groupBy(key).agg(F.count("*").alias("_n"))
            .where(F.col("_n") > max_bucket).select(key))
+    if stats_out is not None:
+        stats_out["dropped_hot_buckets"] = hot.count()
     return keyed.join(F.broadcast(hot), key, "left_anti")
 
 
@@ -112,17 +121,24 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int, *,
              corpus_id: str = "vec_id", query_id: str = "q_id",
              corpus_vec: str = "embedding", query_vec: str = "q_vec",
              bands: int = 8, planes_per_band: int = 16, seed: int = 42,
-             max_bucket: int | None = None) -> DataFrame:
+             max_bucket: int | None = None,
+             stats_out: dict | None = None) -> DataFrame:
     """Approximate top-k: explode per-band LSH keys on both sides, equi-join
     on the key (candidates = pairs matching ANY band), dedupe, exact cosine
     refine, window top-k.  Scale path for non-broadcastable query sets —
     the shuffle keys on (band, signs) buckets, uniform for spread-out
-    corpora; `max_bucket` guards degenerate hot buckets."""
+    corpora; `max_bucket` guards degenerate hot buckets.
+
+    The cap is applied to the CORPUS side only (dropping a bucket on
+    either side loses the same candidate pairs; capping once keeps every
+    query's remaining buckets intact).  With max_bucket set, recall is no
+    longer guaranteed for vectors that are mass-duplicated in the corpus —
+    pass stats_out={} to observe how many hot buckets were dropped."""
     keys = lsh_band_keys_udf(dim, bands, planes_per_band, seed)
     c = corpus.select(F.col(corpus_id), F.col(corpus_vec),
                       F.explode(keys(F.col(corpus_vec))).alias("_bucket"))
     if max_bucket is not None:
-        c = _cap_hot_buckets(c, "_bucket", max_bucket)
+        c = _cap_hot_buckets(c, "_bucket", max_bucket, stats_out)
     q = queries.select(F.col(query_id), F.col(query_vec),
                        F.explode(keys(F.col(query_vec))).alias("_bucket"))
     pair = (c.join(q, "_bucket")
@@ -140,16 +156,23 @@ def embedding_near_duplicates(df: DataFrame, dim: int, *,
                               threshold: float = 0.95,
                               bands: int = 8, planes_per_band: int = 16,
                               seed: int = 42,
-                              max_bucket: int | None = None) -> DataFrame:
+                              max_bucket: int | None = None,
+                              stats_out: dict | None = None) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold: banded OR-amplified LSH
     self-join candidates (match ANY band) + exact cosine refine (a < b).
-    Identical vectors share every band, so recall for exact clones is 1
-    regardless of band parameters."""
+
+    With max_bucket=None (default), identical vectors share every band, so
+    recall for exact clones is 1 regardless of band parameters.  With
+    max_bucket SET that guarantee is void for mass-duplicated vectors: a
+    vector repeated past max_bucket loses every one of its band buckets
+    and returns zero pairs (dedup byte-identical content with
+    exact/minhash first).  Pass stats_out={} to record how many hot
+    buckets were dropped ('dropped_hot_buckets')."""
     keys = lsh_band_keys_udf(dim, bands, planes_per_band, seed)
     withb = df.select(F.col(id_col), F.col(vec),
                       F.explode(keys(F.col(vec))).alias("_bucket"))
     if max_bucket is not None:
-        withb = _cap_hot_buckets(withb, "_bucket", max_bucket)
+        withb = _cap_hot_buckets(withb, "_bucket", max_bucket, stats_out)
     a = withb.select(F.col("_bucket"), F.col(id_col).alias("a"),
                      F.col(vec).alias("_va"))
     b = withb.select(F.col("_bucket"), F.col(id_col).alias("b"),

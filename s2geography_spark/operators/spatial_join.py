@@ -872,7 +872,8 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
                       region_geog: str = "geog", region_id: str = "region_id",
                       init_radius_m: float = 250_000.0,
                       max_rounds: Optional[int] = None,
-                      distance_col: str = "distance_m") -> DataFrame:
+                      distance_col: str = "distance_m",
+                      materialize: bool = True) -> DataFrame:
     """Scale-path kNN: buffered-covering candidate pruning with radius
     doubling (the distributed analog of S2ClosestEdgeQuery's chord-angle
     pruning, SURVEY.md §2.6).
@@ -986,12 +987,22 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
-    # materialize the combined result once, then release every per-round
-    # cached block (resolved parts + the final `remaining`) — repeated
-    # invocations in a long-lived session (bench runs 3x) no longer
-    # accumulate cached blocks until LRU pressure
-    out = out.persist()
-    out.count()
+    if not materialize:
+        # LAZY contract: the plan reads the per-round persisted parts; the
+        # caller releases them after its first action via the attached
+        # handle (for df in out._knn_cached_parts: df.unpersist()).
+        # Callers that only sample or redirect the result avoid the full
+        # refine the eager default would pay here.
+        out._knn_cached_parts = resolved_parts + [remaining]
+        return out
+    # default: materialize the combined result once via localCheckpoint
+    # (RDD-level blocks with NO CacheManager entry — the ContextCleaner
+    # releases them when the returned DataFrame is garbage-collected, so
+    # the caller owes no unpersist), then release every per-round cached
+    # block (resolved parts + the final `remaining`) — repeated
+    # invocations in a long-lived session (bench runs 3x) do not
+    # accumulate cached blocks
+    out = out.localCheckpoint(eager=True)
     for part in resolved_parts:
         part.unpersist()
     remaining.unpersist()

@@ -56,3 +56,83 @@ def test_touches_polygon_configurations():
     for name, b, want in cases:
         assert ops.s2_touches(a, b) is want, name
         assert ops.s2_touches(b, a) is want, name + " (swapped)"
+
+
+# ---------------------------------------------------------------------------
+# factorized point-rhs fast paths must agree with the scalar kernels,
+# including null / EMPTY / negative-threshold rows
+# ---------------------------------------------------------------------------
+
+def test_factorized_distance_paths_match_scalar(spark):
+    from pyspark.sql import functions as F
+    from s2geography_spark.functions.geo import (st_closestpoint, st_distance,
+                                                 st_dwithin, st_geogfromtext,
+                                                 st_maxdistance, st_x, st_y,
+                                                 _point_wkb_udf)
+    # two distinct multipoint lhs geographies repeated over many point rhs
+    rows = []
+    for i in range(40):
+        wkt = ("MULTIPOINT (0 0, 20 10, -15 -5)" if i % 2 == 0
+               else "LINESTRING (10 -80, 10 80)")
+        rows.append((i, wkt, float((i * 7) % 340 - 170) + 0.5,
+                     float((i * 11) % 160 - 80) + 0.25,
+                     500_000.0 if i % 3 else -1.0))
+    df = spark.createDataFrame(
+        rows, "i long, wkt string, lng double, lat double, thr double")
+    got = df.select(
+        "i",
+        st_distance(st_geogfromtext("wkt"),
+                    _point_wkb_udf(F.col("lng"), F.col("lat"))).alias("d"),
+        st_maxdistance(st_geogfromtext("wkt"),
+                       _point_wkb_udf(F.col("lng"), F.col("lat"))).alias("md"),
+        st_dwithin(st_geogfromtext("wkt"),
+                   _point_wkb_udf(F.col("lng"), F.col("lat")),
+                   F.col("thr")).alias("dw"),
+        st_x(st_closestpoint(st_geogfromtext("wkt"),
+                             _point_wkb_udf(F.col("lng"), F.col("lat")))).alias("cx"),
+        st_y(st_closestpoint(st_geogfromtext("wkt"),
+                             _point_wkb_udf(F.col("lng"), F.col("lat")))).alias("cy"),
+    ).collect()
+    from s2geography_spark.core.geog import from_wkt, from_wkb
+    from s2geography_spark.core import sphere
+    import numpy as np
+    for r, (i, wkt, lng, lat, thr) in zip(sorted(got, key=lambda x: x.i), rows):
+        g = from_wkt(wkt)
+        p = from_wkt(f"POINT ({lng} {lat})")
+        assert abs(r.d - ops.s2_distance(g, p)) < 1e-6, i
+        assert abs(r.md - ops.s2_max_distance(g, p)) < 1e-6, i
+        assert r.dw == ops.s2_dwithin(g, p, thr), i
+        cp = ops.s2_closest_point(g, p)
+        assert abs(r.cx - cp.points[0][0]) < 1e-9, i
+        assert abs(r.cy - cp.points[0][1]) < 1e-9, i
+
+
+def test_factorized_paths_null_and_empty(spark):
+    from pyspark.sql import functions as F
+    from s2geography_spark.functions.geo import (st_distance, st_dwithin,
+                                                 st_geogfromtext,
+                                                 st_maxdistance,
+                                                 _point_wkb_udf)
+    rows = [(0, "MULTIPOINT (0 0, 20 10)", 5.0, 5.0),
+            (1, "MULTIPOINT (0 0, 20 10)", None, None),   # null rhs
+            (2, None, 5.0, 5.0),                           # null lhs
+            (3, "MULTIPOINT EMPTY", 5.0, 5.0),             # empty lhs
+            (4, "MULTIPOINT (0 0, 20 10)", 6.0, 6.0),
+            (5, "MULTIPOINT (0 0, 20 10)", 7.0, 7.0),
+            (6, "MULTIPOINT (0 0, 20 10)", 8.0, 8.0)]
+    df = spark.createDataFrame(rows, "i long, wkt string, lng double, lat double")
+    got = {r.i: r for r in df.select(
+        "i",
+        st_distance(st_geogfromtext("wkt"),
+                    _point_wkb_udf(F.col("lng"), F.col("lat"))).alias("d"),
+        st_maxdistance(st_geogfromtext("wkt"),
+                       _point_wkb_udf(F.col("lng"), F.col("lat"))).alias("md"),
+        st_dwithin(st_geogfromtext("wkt"),
+                   _point_wkb_udf(F.col("lng"), F.col("lat")),
+                   F.lit(1e7)).alias("dw")).collect()}
+    assert got[0].d is not None and got[0].md is not None and got[0].dw is True
+    for i in (1, 2, 3):
+        assert got[i].d is None, i
+        assert got[i].md is None, i
+    assert got[2].dw is None          # null lhs -> null
+    assert got[3].dw is False         # empty lhs -> distance None -> False
