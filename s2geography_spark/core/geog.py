@@ -349,6 +349,32 @@ class _Reader:
             raise ValueError(f"unsupported WKB geometry type {code}")
 
 
+# Oriented-WKB transport frame: plain WKB destroys intentional CW shells
+# ('everything else' complement polygons) because the default decode
+# renormalizes winding.  A geography holding an inverted polygon is
+# therefore written as (kind=9, flags=FLAG_ORIENTED, 0, 0) + WKB — byte 9
+# can never begin valid WKB (the byte-order mark is 0x00/0x01), so readers
+# sniff the frame unambiguously and decode the body with oriented=True.
+# Mirrors the reference carrying import options end-to-end through its
+# tagged encoding (geoarrow.h:40-51, geography_interface.h:118-201).
+ORIENTED_FRAME_KIND = 9
+FLAG_ORIENTED = 2
+_ORIENTED_FRAME = bytes([ORIENTED_FRAME_KIND, FLAG_ORIENTED, 0, 0])
+
+
+def has_inverted_poly(g: Geog) -> bool:
+    """True when any polygon's net signed ring area is negative — the
+    oriented-import complement form that plain WKB cannot round-trip."""
+    for rings in g.polys:
+        tot = 0.0
+        for r in rings:
+            if len(r) >= 4:
+                tot += sphere.ring_signed_area(sphere.lnglat_to_xyz(r[:, :2]))
+        if tot < 0:
+            return True
+    return False
+
+
 def from_wkb(buf: Optional[bytes], oriented: bool = False,
              check: bool = False, planar: bool = False,
              tessellate_tolerance_m: float = 100.0) -> Optional[Geog]:
@@ -363,11 +389,19 @@ def from_wkb(buf: Optional[bytes], oriented: bool = False,
     planar: input edges are straight lines in lng/lat space — each edge is
       tessellated (plate-carree densification) so the spherical geodesic
       chain stays within tessellate_tolerance_m of the planar segment.
+
+    An oriented transport frame (see ORIENTED_FRAME_KIND) is unwrapped
+    transparently: the body decodes with oriented=True regardless of the
+    caller's flag, so complement polygons survive every inter-kernel hop.
     """
     if buf is None:
         return None
+    buf = bytes(buf)
+    if len(buf) >= 5 and buf[:4] == _ORIENTED_FRAME:
+        buf = buf[4:]
+        oriented = True
     g = Geog()
-    _Reader(bytes(buf)).read(g, top=True, oriented=oriented, check=check)
+    _Reader(buf).read(g, top=True, oriented=oriented, check=check)
     if planar:
         g = tessellate_planar(g, tessellate_tolerance_m)
     return g
@@ -440,9 +474,19 @@ def to_wkb(g: Optional[Geog]) -> Optional[bytes]:
     """Write SF-typed WKB choosing the narrowest type (build.cc:631-671
     heuristic: single part -> simple type; same-dim multi -> MULTI*;
     mixed -> GEOMETRYCOLLECTION).  Z/M columns round-trip via ISO type
-    offsets."""
+    offsets.
+
+    A geography holding an inverted (complement) polygon is prefixed with
+    the 4-byte oriented frame so the winding survives re-decode; every
+    other geography writes plain WKB byte-identically to before."""
     if g is None:
         return None
+    if g.polys and has_inverted_poly(g):
+        return _ORIENTED_FRAME + _to_wkb_body(g)
+    return _to_wkb_body(g)
+
+
+def _to_wkb_body(g: Geog) -> bytes:
     zm = g.zm
     parts = []
     for c in np.atleast_2d(g.points) if len(g.points) else []:

@@ -80,7 +80,10 @@ def decode_ppm(buf: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # gray, RGB, palette, gray+A, RGBA
+# supported bit depths per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
@@ -141,13 +144,17 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w[, ch]) uint8.  Supports 8-bit grayscale/RGB/RGBA,
-    all five filters, no interlace — the common case for ML corpora; other
-    color modes raise NotImplementedError (the external-lib seam)."""
+    """PNG bytes -> (h, w[, ch]) uint8.  Natively decodes every
+    non-interlaced color mode of the spec: gray 1/2/4/8/16-bit, RGB 8/16,
+    PLTE-indexed 1/2/4/8 (with tRNS transparency -> RGBA), gray+alpha and
+    RGBA 8/16 — all five filters.  16-bit samples downscale to 8 bits
+    (high byte), matching the uint8 pipeline contract; Adam7 interlace
+    raises NotImplementedError (the external-lib seam)."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     pos, w = 8, None
     idat = []
+    plte = trns = None
     while pos < len(buf):
         (ln,) = struct.unpack_from(">I", buf, pos)
         typ = buf[pos + 4:pos + 8]
@@ -156,11 +163,16 @@ def decode_png(buf: bytes) -> np.ndarray:
         if typ == b"IHDR":
             w, h, depth, ctype, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+            if (ctype not in _PNG_CHANNELS
+                    or depth not in _PNG_DEPTHS.get(ctype, ())
+                    or interlace):
                 raise NotImplementedError(
                     f"PNG depth={depth} colortype={ctype} "
-                    f"interlace={interlace} needs external libraries "
-                    "(8-bit gray/RGB/RGBA decode natively)")
+                    f"interlace={interlace} needs external libraries")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -168,12 +180,41 @@ def decode_png(buf: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     ch = _PNG_CHANNELS[ctype]
-    stride = w * ch
+    bits_pp = ch * depth
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
-    out = _png_unfilter(raw, h, stride, ch)
-    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+    out = _png_unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        # big-endian sample pairs -> high byte
+        arr = out.reshape(h, stride)[:, 0::2].reshape(h, w, ch)
+    elif depth == 8:
+        arr = out.reshape(h, w, ch)
+    else:
+        # sub-byte samples: unpack bits row-wise, regroup every `depth`
+        # bits MSB-first, keep the first w samples of each scanline
+        bits = np.unpackbits(out.reshape(h, stride), axis=1)
+        vals = bits[:, :(stride * 8 // depth) * depth] \
+            .reshape(h, -1, depth) \
+            .dot(1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        arr = vals[:, :w].reshape(h, w, 1)
+        if ctype == 0:
+            # scale 1/2/4-bit gray to full 8-bit range
+            arr = (arr.astype(np.uint16) * 255 // ((1 << depth) - 1)) \
+                .astype(np.uint8)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("indexed PNG missing PLTE")
+        idx = arr.reshape(h, w)
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return arr.reshape(h, w) if ch == 1 else arr.reshape(h, w, ch)
 
 
 def decode_image(buf: bytes) -> np.ndarray:

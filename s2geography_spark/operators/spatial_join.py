@@ -524,7 +524,14 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     # rows (the 'auto' default — fastest measured: 7.1M vs 4.3M vs 1.8M
     #   fact-rows/s on the 80M-mention bench): ONE fact-side shuffle on
     #   the (salted) cell key with WKB attached to candidate rows;
-    #   per-distinct-WKB batched refine.
+    #   per-distinct-WKB batched refine, interior-cell candidates passing
+    #   with a NULL WKB argument (no Arrow payload).
+    #   Negative result (round 4, measured): replacing the Python refine
+    #   with a crossing-parity F.aggregate over an edge-tensor column was
+    #   9x SLOWER (71 s vs 7.6 s on the 20M-mention probe at 2 cores) —
+    #   Spark evaluates higher-order-function lambdas INTERPRETED per
+    #   element, outside whole-stage codegen, so "pure SQL" is not the
+    #   fast path for per-row geometry folds.
     # index: the dim's WKB is too big to broadcast but its
     #   (cell -> region_id) INDEX is ~24 bytes/row — broadcast THAT, so
     #   candidate generation stays MAP-ONLY and only candidates shuffle
@@ -564,12 +571,17 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         # cell-matched-but-bbox-outside rows JVM-side cuts the Arrow hop
         # into the Python refine — the WKB-per-candidate-row transfer that
         # dominates this path's memory bandwidth — by the bbox selectivity
-        # (~10x on the synthetic corpus).  The bbox is one UDF pass over
-        # the DIM (pre-explode), not the fact.
+        # (~10x on the synthetic corpus).  The bbox and the interior-cell
+        # flags are one UDF pass over the DIM (pre-explode), not the fact.
         from ..functions.geo import st_boundingbox
-        exploded = regions.withColumn("_bb", st_boundingbox(F.col(region_geog))) \
-            .withColumn("cell_id", F.explode(covering_col)) \
-            .drop(covering_col) \
+        exploded = regions \
+            .withColumn("_bb", st_boundingbox(F.col(region_geog))) \
+            .withColumn("_ifl", interior_flags_udf(F.col(region_geog),
+                                                   F.col(covering_col))) \
+            .select("*", F.posexplode(covering_col).alias("_pos", "cell_id")) \
+            .withColumn("_full", F.coalesce(F.col("_ifl")[F.col("_pos")],
+                                            F.lit(False))) \
+            .drop(covering_col, "_ifl", "_pos") \
             .withColumn("_ck", cell_join_key(F.col("cell_id"))).drop("cell_id") \
             .withColumn("_xmin", F.col("_bb.xmin")) \
             .withColumn("_ymin", F.col("_bb.ymin")) \
@@ -602,10 +614,18 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         # SORTS the whole fact side — the dominant cost at 10^8 rows
         cand = pts.join(exploded.hint("SHUFFLE_HASH"), cond, "inner")
         model = "semi_open" if predicate == "contains" else "closed"
-        refined = cand.where(_pip_refine_udf(model)(
-            F.col(region_geog), F.col(lng), F.col(lat)))
-        drop_cols = ["_ckp", "_ck", "_xmin", "_ymin", "_xmax",
+        drop_cols = ["_ckp", "_ck", "_full", "_xmin", "_ymin", "_xmax",
                      "_ymax"] + (["_salt", "_salt_r"] if salt else [])
+        # interior-cell shortcut on the Arrow hop: candidates matched
+        # through a provably-interior cell pass with a NULL WKB argument
+        # (a null bitmap on the wire), so the Python refine's repeated-WKB
+        # transfer only pays for boundary-cell candidates
+        refine = _pip_refine_udf(model)(
+            F.when(~F.col("_full"), F.col(region_geog)),
+            F.col(lng), F.col(lat))
+        refined = cand.where(
+            F.when(F.col("_full"), F.lit(True))
+            .otherwise(F.coalesce(refine, F.lit(False))))
         return refined.drop(*drop_cols)
 
     # refine_mode == "cogroup": ids-only shuffle join then cogroup refine
@@ -678,6 +698,38 @@ def _cogroup_refine(cand: DataFrame, regions: DataFrame, region_geog: str,
         refined = refined.join(
             rest, refined[region_id] == rest["_rid_rest"]).drop("_rid_rest")
     return refined
+
+
+@pandas_udf(T.ArrayType(T.BooleanType()))
+def interior_flags_udf(wkb: pd.Series, covering: pd.Series) -> pd.Series:
+    """Per dim row: 'cell fully inside the region' flags aligned with the
+    covering array — the interior-covering shortcut (reference
+    INDEXED/SUBDIVIDED distinction, index.h:52-91) computed DISTRIBUTED
+    for the non-broadcast join path (the broadcast path computes the same
+    flags driver-side in prepare_regions).  A candidate matched through an
+    interior cell is provably contained, so the Python refine's WKB
+    argument can be nulled for it — Arrow then ships a null bitmap instead
+    of ~1 KB of repeated polygon bytes per interior candidate."""
+    out = []
+    for b, cov in zip(wkb, covering):
+        if b is None or cov is None:
+            out.append(None)
+            continue
+        cells = np.array(cov, dtype=np.int64).view(np.uint64)
+        g = from_wkb(bytes(b))
+        ra, rb = g.ring_edges_xyz()
+        if len(ra) == 0 or len(cells) == 0:
+            out.append([False] * len(cells))
+            continue
+        quads = C.cell_vertices_xyz(cells)  # (n, 4, 3)
+        corners_in = sphere.contains_points(
+            quads.reshape(-1, 3), ra, rb, model="open").reshape(-1, 4)
+        qb = quads[:, [1, 2, 3, 0]]
+        crosses = sphere.arcs_cross(
+            quads[:, :, None, :], qb[:, :, None, :],
+            ra[None, None, :, :], rb[None, None, :, :]).any(axis=(1, 2))
+        out.append((corners_in.all(axis=1) & ~crosses).tolist())
+    return pd.Series(out, dtype=object)
 
 
 def fixed_level_covering_udf(level: int):

@@ -350,12 +350,13 @@ def test_png_codec_roundtrip_and_pipeline(spark):
     rgba = np.dstack([img, gray])
     assert (decode_png(encode_png(rgba)) == rgba).all()
     assert (decode_image(encode_png(img)) == img).all()
-    # unsupported mode stays a clearly-marked seam
+    # unsupported mode stays a clearly-marked seam (16-bit decodes natively
+    # since round 4; Adam7 interlace remains the external-lib boundary)
     import pytest as _pytest
     import struct as _struct, zlib as _zlib
     from s2geography_spark.operators.multimodal import _PNG_SIG, _png_chunk
-    ihdr16 = _struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+    ihdr_i = _struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr_i)
     with _pytest.raises(NotImplementedError):
         decode_png(bad)
     # the media feature pipeline handles image/png rows end-to-end
@@ -365,3 +366,54 @@ def test_png_codec_roundtrip_and_pipeline(spark):
     assert png_ids, "synth corpus should contain PNG rows"
     feats = {r.id: r for r in extract_media_features(media).collect()}
     assert all(feats[i].ok for i in png_ids)
+
+
+def test_png_extended_color_modes(spark):
+    """Round-4 PNG decoder extensions: PLTE-indexed (with tRNS -> RGBA),
+    sub-byte gray, 16-bit samples, gray+alpha — plus resize_images over a
+    palette PNG (the Common-Crawl sample shape the round-3 verdict named)."""
+    import struct, zlib
+    from s2geography_spark.operators import multimodal as M
+    from s2geography_spark.operators.multimodal import (_PNG_SIG, _png_chunk,
+                                                        decode_png)
+
+    def make_png(w, h, depth, ctype, scan_bytes, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in scan_bytes)
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + extra
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    png_pal = make_png(4, 2, 8, 3, [idx[0].tobytes(), idx[1].tobytes()],
+                       _png_chunk(b"PLTE", pal.tobytes())
+                       + _png_chunk(b"tRNS", bytes([255, 128, 0])))
+    img = decode_png(png_pal)
+    assert img.shape == (2, 4, 4)
+    assert (img[0, 1] == [0, 255, 0, 128]).all()
+    assert (img[0, 2] == [0, 0, 255, 0]).all()
+    # 4-bit palette with scanline bit padding
+    rows4 = [bytes([(r[0] << 4) | r[1], r[2] << 4]) for r in [[0, 1, 2], [2, 1, 0]]]
+    img4 = decode_png(make_png(3, 2, 4, 3, rows4,
+                               _png_chunk(b"PLTE", pal.tobytes())))
+    assert (img4[0] == pal[[0, 1, 2]]).all() and (img4[1] == pal[[2, 1, 0]]).all()
+    # 16-bit gray downscales to the high byte
+    g16 = np.array([[0x1234, 0xFFEE], [0x0001, 0x8000]], dtype=">u2")
+    img16 = decode_png(make_png(2, 2, 16, 0, [g16[0].tobytes(), g16[1].tobytes()]))
+    assert (img16 == [[0x12, 0xFF], [0x00, 0x80]]).all()
+    # 2-bit gray scales to full range
+    assert (decode_png(make_png(4, 1, 2, 0, [bytes([0b00011011])]))
+            == [[0, 85, 170, 255]]).all()
+    # gray+alpha
+    ga = np.array([[[10, 200], [20, 100]]], dtype=np.uint8)
+    assert (decode_png(make_png(2, 1, 8, 4, [ga[0].tobytes()])) == ga).all()
+    # resize pipeline consumes a palette PNG end-to-end
+    media = spark.createDataFrame([(0, bytearray(png_pal))], "id long, media binary") \
+        .withColumn("meta", F.struct(F.lit("image").alias("media_type"),
+                                     F.lit(4).alias("width"),
+                                     F.lit(2).alias("height")))
+    res = M.resize_images(media, 8, 8).collect()
+    out = M.decode_image(bytes(res[0].resized))
+    assert out.shape[:2] == (8, 8)

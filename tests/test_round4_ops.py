@@ -136,3 +136,87 @@ def test_factorized_paths_null_and_empty(spark):
         assert got[i].md is None, i
     assert got[2].dw is None          # null lhs -> null
     assert got[3].dw is False         # empty lhs -> distance None -> False
+
+
+# ---------------------------------------------------------------------------
+# oriented-WKB transport frame: a complement polygon (CW shell imported
+# with oriented=true) must survive EVERY inter-kernel WKB hop, not just the
+# importing UDF's direct output (round-3 verdict item 9)
+# ---------------------------------------------------------------------------
+
+def test_oriented_complement_survives_wkb_hops():
+    from s2geography_spark.core.geog import from_wkb, to_wkb, from_wkt, to_wkt
+    R = 6371010.0
+    cw = "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))"  # CW = 'everything else'
+    import s2geography_spark.core.geog as G
+    g = G.from_wkt(cw)
+    # from_wkt normalizes; rebuild with oriented WKB import
+    plain = to_wkb(from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    # construct CW-ring WKB by reversing and reading oriented
+    cw_ring = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    cw_ring.polys[0][0] = cw_ring.polys[0][0][::-1].copy()
+    buf = to_wkb(cw_ring)  # has_inverted_poly -> framed
+    assert buf[:4] == G._ORIENTED_FRAME
+    small = ops.s2_area(from_wkb(plain))
+    # ROUND-TRIP: decode -> re-encode -> decode keeps the complement
+    g2 = from_wkb(to_wkb(from_wkb(buf)))
+    assert ops.s2_area(g2) == pytest.approx(4 * np.pi * R * R - small, rel=1e-9)
+
+
+def test_oriented_complement_through_sql_pipeline(spark):
+    """st_geogfromwkb(..., oriented=true) -> st_area through a downstream
+    SQL hop (st_union with an empty set ruled out; use identity select)
+    sees the complement area 4*pi*R^2 - a."""
+    from pyspark.sql import functions as F
+    from s2geography_spark.core.geog import from_wkt, to_wkb
+    from s2geography_spark.functions.geo import (st_area, st_geogfromwkb,
+                                                 st_perimeter)
+    R = 6371010.0
+    ccw = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    small = ops.s2_area(ccw)
+    ccw.polys[0][0] = ccw.polys[0][0][::-1].copy()
+    # plain CW-ring WKB bytes (write body directly, bypassing the frame)
+    import s2geography_spark.core.geog as G
+    cw_wkb = G._to_wkb_body(ccw)
+    df = spark.createDataFrame([(bytearray(cw_wkb),)], "wkb binary")
+    # the importing UDF's output hops (as framed WKB) into two DIFFERENT
+    # downstream kernels, each of which re-decodes independently — the hop
+    # that round 3 documented as lossy
+    imp = st_geogfromwkb(F.col("wkb"), F.lit(True), F.lit(False))
+    out = df.select(st_area(imp).alias("a1"),
+                    st_perimeter(imp).alias("p1")).collect()[0]
+    want = 4 * np.pi * R * R - small
+    assert out.a1 == pytest.approx(want, rel=1e-9)
+    # the complement's boundary IS the ring -> same perimeter as the
+    # normalized polygon
+    plain_perim = ops.s2_perimeter(from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    assert out.p1 == pytest.approx(plain_perim, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# rows-mode interior-cell shortcut: the shuffle join must return exactly the
+# broadcast join's pairs, boundary points included (the shortcut nulls the
+# Python refine's WKB argument for provably-interior candidates)
+# ---------------------------------------------------------------------------
+
+def test_shuffle_rows_interior_shortcut_matches_broadcast(spark):
+    from pyspark.sql import functions as F
+    from s2geography_spark.operators.spatial_join import spatial_join
+    from s2geography_spark.sources.regions import regions_df
+    rows = [(i, float((i * 7) % 1440) / 4.0 - 180.0 + 0.125,
+             float((i * 11) % 640) / 4.0 - 80.0 + 0.125) for i in range(800)]
+    # planted boundary points on region-0 edges (a point exactly AT a
+    # corner vertex is excluded: the semi-open model is knife-edge there
+    # by design and the broadcast/shuffle paths are only contracted to
+    # agree for points clear of the boundary)
+    rows += [(100000, -150.0, -64.0), (100001, -147.0, -63.5)]
+    pts = spark.createDataFrame(rows, "id long, lng double, lat double")
+    regions = regions_df(spark, 48, covering_level=6)
+    for predicate in ("contains", "intersects"):
+        a = spatial_join(pts, regions, predicate=predicate, level=6)
+        b = spatial_join(pts, regions, predicate=predicate, broadcast=False,
+                         salt=2, level=6, refine_mode="rows")
+        sa = {(r.id, r.region_id) for r in a.select("id", "region_id").collect()}
+        sb = {(r.id, r.region_id) for r in b.select("id", "region_id").collect()}
+        assert sa == sb, predicate
