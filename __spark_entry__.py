@@ -58,8 +58,14 @@ _REG_SQL = f"""
 
 def _regions(spark: SparkSession) -> DataFrame:
     from s2geography_spark.sources.regions import regions_df
-    # fixed-level covering -> single-key cover join (see operators/spatial_join)
-    return regions_df(spark, N_REGIONS, covering_level=6)
+    # fixed-level covering -> single-key cover join (see operators/spatial_join).
+    # Level 8 (round-4 measurement): finer dim cells raise the
+    # interior-cell fraction so most candidates skip the PIP winding/Arrow
+    # work entirely — broadcast flagship 2.13 s -> 0.85 s at 32 cores,
+    # shuffle 2->8-core scaling 0.43 -> 0.65 on the 20M-mention probe; the
+    # fact side still emits ONE join key per point, only the (tiny)
+    # exploded dim grows 16x.
+    return regions_df(spark, N_REGIONS, covering_level=8)
 
 
 # ---------------------------------------------------------------------------
@@ -71,14 +77,14 @@ def q_geo_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cover -> explode -> broadcast equi-join -> vectorized PIP refine)."""
     from s2geography_spark.operators.spatial_join import spatial_join
     pts = _customer_points(spark, sf_dir)
-    joined = spatial_join(pts, _regions(spark), predicate="contains", level=6)
+    joined = spatial_join(pts, _regions(spark), predicate="contains", level=8)
     return joined.select("c_custkey", "region_id")
 
 
 def q_geo_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geography_spark.operators.spatial_join import spatial_join
     pts = _customer_points(spark, sf_dir)
-    joined = spatial_join(pts, _regions(spark), predicate="contains", level=6)
+    joined = spatial_join(pts, _regions(spark), predicate="contains", level=8)
     return joined.groupBy("region_id").agg(F.count("*").alias("n_points"))
 
 
@@ -222,7 +228,7 @@ def _overlap_pair_df(spark: SparkSession) -> DataFrame:
                 " blat1 double, gb binary")
     cand = geog_pair_join(a, b, left_id="ra", right_id="rb",
                           left_geog="ga", right_geog="gb",
-                          level=6, left_covering="cov_a")
+                          level=8, left_covering="cov_a")
     # exact pair set: bbox overlap with positive interior (JVM-side);
     # coverings are supersets, so this only DROPS false candidates
     return (cand
@@ -533,6 +539,60 @@ def q_geo_shortestline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st_y(p1), 6).alias("sl_lat1"))
 
 
+def q_geo_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_simplify (geodesic Douglas-Peucker, build.cc chain collapse) on
+    every densified region rectangle at 20 km tolerance: the 1-deg
+    densification chains deviate < 8 km from their chords, so each edge
+    collapses to its endpoints and the result is EXACTLY the 4-corner
+    geodesic ring — st_npoints 4 (distinct vertices) and a perimeter with the
+    closed form 2*R*dlat + sum over both parallels of the corner-to-corner
+    great-circle arc 2*asin(cos(lat)*sin(dlng/2)), engine-vs-closed-form
+    agreement ~1e-9 m (measured over all 96 regions)."""
+    from s2geography_spark.functions.geo import (st_npoints, st_perimeter,
+                                                 st_simplify)
+    simp = st_simplify(F.col("geog"), F.lit(20000.0))
+    return _regions(spark).select(
+        "region_id",
+        st_npoints(simp).alias("nv"),
+        F.floor(st_perimeter(simp) / 100.0).cast("long")
+         .alias("perim_bucket"))
+
+
+def q_s2_cell_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-Column S2 cell arithmetic layer (functions/cells.py —
+    op/cell.cc:40-123 semantics) over cell ids CONSTRUCTED from doc ids
+    with bit math both engines reproduce: face 0..3, level 10..25, 20
+    pseudo-random position bits above the trailing-one marker.  The oracle
+    recomputes level (by construction), parent-at-8 (mask formula), the
+    range endpoints, containment, validity, and the hex token
+    (to_hex + pad + strip) independently in SQL."""
+    from s2geography_spark.functions.cells import (cell_contains,
+                                                   cell_is_valid, cell_level,
+                                                   cell_parent,
+                                                   cell_range_max,
+                                                   cell_range_min, cell_token)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id").where(F.col("doc_id") < 200)
+    shift = "CAST(2 * (30 - (doc_id % 16 + 10)) AS INT)"
+    cid = F.expr(
+        f"shiftleft(CAST(doc_id % 4 AS BIGINT), 61)"
+        f" | shiftleft(CAST((doc_id * 48271 + 11) % 1048576 AS BIGINT),"
+        f"             {shift} + 1)"
+        f" | shiftleft(CAST(1 AS BIGINT), {shift})")
+    d = docs.select("doc_id", cid.alias("cid"))
+    par8 = cell_parent(F.col("cid"), 8)
+    return d.select(
+        "doc_id", "cid",
+        cell_level(F.col("cid")).alias("lvl"),
+        par8.alias("par8"),
+        cell_range_min(F.col("cid")).alias("rmin"),
+        cell_range_max(F.col("cid")).alias("rmax"),
+        cell_token(F.col("cid")).alias("token"),
+        cell_contains(par8, F.col("cid")).alias("par_contains"),
+        cell_contains(F.col("cid"), par8).alias("child_contains_parent"),
+        cell_is_valid(F.col("cid")).alias("valid"))
+
+
 # simhash_banded signature plant: 8 byte lanes (top lane 7 bits -> 63-bit
 # signatures, no sign issues in either engine), multipliers small enough
 # that doc_id*K never overflows in DuckDB's checked BIGINT arithmetic
@@ -789,8 +849,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from s2geography_spark.sources.regions import regions_df
     pages = pages_df(spark, 5000)
     mentions = extract_mentions(pages, gazetteer_df(spark))
-    joined = spatial_join(mentions, regions_df(spark, N_REGIONS, covering_level=6),
-                          predicate="contains", level=6)
+    joined = spatial_join(mentions, regions_df(spark, N_REGIONS, covering_level=8),
+                          predicate="contains", level=8)
     return (joined.groupBy("region_id")
             .agg(F.count("*").alias("n_mentions"),
                  F.countDistinct("url").alias("n_pages"))
@@ -819,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_predicates": q_geo_predicates,
         "geo_difference": q_geo_difference,
         "geo_shortestline": q_geo_shortestline,
+        "geo_simplify": q_geo_simplify,
+        "s2_cell_ops": q_s2_cell_ops,
         "simhash_banded": q_simhash_banded,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1088,6 +1150,43 @@ def oracle_sql() -> dict[str, str]:
                round(lng, 6) AS sl_lng1,
                round(lat, 6) AS sl_lat1
         FROM l
+    """
+
+    sqls["geo_simplify"] = f"""
+        WITH reg AS ({_REG_SQL})
+        SELECT region_id, CAST(4 AS INT) AS nv,
+               CAST(floor((
+                   2.0 * radians(lat1 - lat0) * 6371010.0
+                 + 2.0 * 6371010.0 * asin(cos(radians(lat0))
+                     * sin(radians(lng1 - lng0) / 2.0))
+                 + 2.0 * 6371010.0 * asin(cos(radians(lat1))
+                     * sin(radians(lng1 - lng0) / 2.0))
+               ) / 100.0) AS BIGINT) AS perim_bucket
+        FROM reg
+    """
+
+    sqls["s2_cell_ops"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        c AS (SELECT doc_id,
+                     (doc_id % 16 + 10) AS lvl0,
+                     (1::BIGINT << (2 * (30 - (doc_id % 16 + 10)))) AS lsb,
+                     (((doc_id % 4)::BIGINT << 61)
+                      | (((doc_id * 48271 + 11) % 1048576)::BIGINT
+                         << (2 * (30 - (doc_id % 16 + 10)) + 1))
+                      | (1::BIGINT << (2 * (30 - (doc_id % 16 + 10))))) AS cid
+              FROM d),
+        x AS (SELECT doc_id, cid, lsb, CAST(lvl0 AS INT) AS lvl,
+                     ((cid & -(1::BIGINT << 44)) | (1::BIGINT << 44)) AS par8,
+                     cid - (lsb - 1) AS rmin,
+                     cid + (lsb - 1) AS rmax
+              FROM c)
+        SELECT doc_id, cid, lvl, par8, rmin, rmax,
+               rtrim(lpad(lower(to_hex(cid)), 16, '0'), '0') AS token,
+               (cid >= par8 - ((1::BIGINT << 44) - 1)
+                AND cid <= par8 + ((1::BIGINT << 44) - 1)) AS par_contains,
+               (par8 >= rmin AND par8 <= rmax) AS child_contains_parent,
+               true AS valid
+        FROM x
     """
 
     sqls["simhash_banded"] = f"""

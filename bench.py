@@ -28,9 +28,9 @@ def run_flagship(spark, n_pages: int):
 
     pages = pages_df(spark, n_pages)
     mentions = extract_mentions(pages, gazetteer_df(spark))
-    regions = regions_df(spark, 96, covering_level=6)
+    regions = regions_df(spark, 96, covering_level=8)
     t0 = time.time()
-    joined = spatial_join(mentions, regions, predicate="contains", level=6)
+    joined = spatial_join(mentions, regions, predicate="contains", level=8)
     out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
     dt = time.time() - t0
     rows_in = int(sum(i % 6 for i in range(n_pages)))  # exact mention count
@@ -55,7 +55,7 @@ def materialize_mentions(spark, n_pages: int, path: str):
 
 
 def materialize_mentions_bucketed(spark, n_pages: int, table: str,
-                                  level: int = 6, n_buckets: int = 64):
+                                  level: int = 8, n_buckets: int = 64):
     """Bucketed-corpus ingest (the 100 TB shuffle-path answer): materialize
     mentions WITH the fixed-level mixed join key and bucket the table by it.
     The one-time bucketing shuffle is paid here; every subsequent
@@ -99,18 +99,19 @@ def materialize_mentions_bucketed(spark, n_pages: int, table: str,
     return table
 
 
-def run_join_bench_bucketed(spark, table: str):
+def run_join_bench_bucketed(spark, table: str, level: int = 8):
     """Shuffle-path join over the BUCKETED corpus: zero fact-side exchange
-    (plan-asserted), dim explodes + shuffles to the bucket count."""
+    (plan-asserted), dim explodes + shuffles to the bucket count.  `level`
+    must match the ingest level the table's `ck` key was built at."""
     from pyspark.sql import functions as F
     from s2geography_spark.operators.spatial_join import spatial_join
     from s2geography_spark.sources.regions import regions_df
 
     mentions = spark.table(table)
-    regions = regions_df(spark, 96, covering_level=6)
+    regions = regions_df(spark, 96, covering_level=level)
     t0 = time.time()
     joined = spatial_join(mentions, regions, predicate="contains",
-                          broadcast=False, level=6, key_col="ck",
+                          broadcast=False, level=level, key_col="ck",
                           refine_mode="rows")
     out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
     dt = time.time() - t0
@@ -136,11 +137,11 @@ def run_join_bench(spark, mentions_path: str):
     key = id(spark)
     if key not in _PREPARED:
         _PREPARED[key] = prepare_regions(
-            spark, regions_df(spark, 96, covering_level=6))
+            spark, regions_df(spark, 96, covering_level=8))
     leaf = "leaf" if "leaf" in mentions.columns else None
     t0 = time.time()
     joined = spatial_join(mentions, _PREPARED[key], predicate="contains",
-                          level=6, leaf_col=leaf)
+                          level=8, leaf_col=leaf)
     out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
     dt = time.time() - t0
     rows_out = int(sum(r.n for r in out))
@@ -158,7 +159,12 @@ def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4):
     from s2geography_spark.sources.regions import regions_df
 
     mentions = spark.read.parquet(mentions_path)
-    regions = regions_df(spark, 96, covering_level=6)
+    # covering_level=8 (round-4 measurement, 20M-mention probe): finer dim
+    # cells raise the interior-cell fraction, so most candidates skip the
+    # Python refine's Arrow hop entirely — 3.63 s -> 2.10 s at 8 cores and
+    # 2->8 scaling 0.43 -> 0.65 vs level 6; the fact side still emits ONE
+    # key per point, only the (tiny) exploded dim grows 16x
+    regions = regions_df(spark, 96, covering_level=8)
     leaf = "leaf" if "leaf" in mentions.columns else None
     # column pruning BEFORE the fact-side shuffle: the rollup needs only
     # the coordinates (+ the ingest leaf cell); shuffling the url string
@@ -167,7 +173,7 @@ def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4):
     mentions = mentions.select(*cols)
     t0 = time.time()
     joined = spatial_join(mentions, regions, predicate="contains",
-                          broadcast=False, salt=salt, level=6, leaf_col=leaf)
+                          broadcast=False, salt=salt, level=8, leaf_col=leaf)
     out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
     dt = time.time() - t0
     rows_out = int(sum(r.n for r in out))

@@ -1151,6 +1151,35 @@ def s2_covering(g: Optional[Geog], max_cells: int = 8,
     return sorted(np.array(sorted(result), dtype=np.uint64).view(np.int64).tolist())
 
 
+def s2_covering_fixed_level(g: Optional[Geog], level: int) -> Optional[List[int]]:
+    """Covering with every cell at EXACTLY `level`, computed breadth-first:
+    the whole frontier's children are tested with ONE vectorized
+    may_intersect_batch per level instead of the adaptive coverer's
+    4-cell-at-a-time heap steps.  For a ~200-cell level-8 covering this is
+    ~100x fewer Python-loop iterations (the adaptive path cost 12.7 s for
+    96 regions; this one is sub-second), and the result is the same cell
+    set: descendants of intersecting cells that themselves intersect."""
+    if g is None:
+        return None
+    if g.is_empty():
+        return []
+    if not g.lines and not g.polys and len(g.points) <= 32:
+        ids = C.from_lnglat(g.points[:, 0], g.points[:, 1])
+        cells = np.unique(C.parent(ids, level))
+        return sorted(cells.view(np.int64).tolist())
+    state = _CovererState(g)
+    frontier = np.array([(f << 61) | (1 << 60) for f in range(6)],
+                        dtype=np.uint64)
+    frontier = frontier[state.may_intersect_batch(frontier)]
+    for _ in range(level):
+        if len(frontier) == 0:
+            break
+        kids = C.child(np.repeat(frontier, 4),
+                       np.tile(np.arange(4), len(frontier)))
+        frontier = kids[state.may_intersect_batch(kids)]
+    return sorted(frontier.view(np.int64).tolist())
+
+
 def s2_interior_covering(g: Optional[Geog], max_cells: int = 8,
                          max_level: int = MAX_COVER_LEVEL) -> Optional[List[int]]:
     """Interior covering (coverings.cc:69-78 / GetInteriorCovering analog):

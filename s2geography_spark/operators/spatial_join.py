@@ -738,41 +738,17 @@ def fixed_level_covering_udf(level: int):
     level-L cells, so one hash equi-join on the cell id finds every
     covering overlap).
 
-    s2_covering's point fast path returns level-30 leaf cells regardless of
-    max_level, and the adaptive path may (rarely) keep a coarser-than-L
-    conservative cell — both break the exact-level invariant the pair join
-    relies on, silently dropping candidate pairs.  Normalize here: finer
-    cells are re-parented to level L; coarser cells are expanded to all of
-    their level-L descendants (bounded by 4^(L - lev), and only hit on the
-    conservative fallback)."""
+    Uses the breadth-first batched coverer (s2_covering_fixed_level),
+    which guarantees the exact-level invariant by construction — the
+    adaptive coverer's point fast path returned leaf cells and silently
+    dropped point-vs-polygon candidate pairs (round-3 ADVICE)."""
     from ..core import ops as _ops
-
-    lsb_l = int(C.lsb_for_level(level))
-
-    def _normalize(ids):
-        if not ids:
-            return ids
-        arr = np.array(ids, dtype=np.int64).view(np.uint64)
-        lv = C.level(arr)
-        out = set(arr[lv == level].view(np.int64).tolist())
-        fine = lv > level
-        if fine.any():
-            out.update(C.parent(arr[fine], level).view(np.int64).tolist())
-        for cid in arr[lv < level]:
-            cid = int(cid)
-            lsb = cid & -cid
-            rmin, rmax = cid - lsb + lsb_l, cid + lsb - lsb_l
-            out.update(np.arange(rmin, rmax + 1, 2 * lsb_l, dtype=np.uint64)
-                       .view(np.int64).tolist())
-        return sorted(out)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def udf(wkb: pd.Series) -> pd.Series:
         return pd.Series(
             [None if b is None else
-             _normalize(_ops.s2_covering(from_wkb(bytes(b)),
-                                         max_cells=1 << 20,
-                                         max_level=level))
+             _ops.s2_covering_fixed_level(from_wkb(bytes(b)), level)
              for b in wkb], dtype=object)
 
     return udf

@@ -45,12 +45,12 @@ from s2geography_spark.session import get_spark
 from bench import (materialize_mentions_bucketed, run_join_bench,
                    run_join_bench_bucketed, run_join_bench_shuffle)
 spark = get_spark("scaling", cpus={cpus})
-spark.sql("DROP TABLE IF EXISTS mentions_bkt_scaling")
-materialize_mentions_bucketed(spark, {sh_pages}, "mentions_bkt_scaling")
+spark.sql("DROP TABLE IF EXISTS mentions_bkt_scaling_l8")
+materialize_mentions_bucketed(spark, {sh_pages}, "mentions_bkt_scaling_l8")
 modes = {{
     "broadcast": lambda: run_join_bench(spark, {path!r}),
     "shuffle": lambda: run_join_bench_shuffle(spark, {sh_path!r}),
-    "bucketed": lambda: run_join_bench_bucketed(spark, "mentions_bkt_scaling"),
+    "bucketed": lambda: run_join_bench_bucketed(spark, "mentions_bkt_scaling_l8"),
 }}
 for fn in modes.values():
     fn()  # warm-up: workers, caches, codegen
