@@ -558,6 +558,22 @@ def q_geo_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("perim_bucket"))
 
 
+def q_geo_reduce_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_reduceprecision (IntLatLngSnapFunction analog, exponent form) on
+    customer points at 10^-1 degrees: every synthetic coordinate ends in
+    .125/.375/.625/.875, so one-decimal snapping is unambiguous under both
+    engines' rounding modes and the oracle is plain round(x, 1)."""
+    from s2geography_spark.functions.geo import (st_reduceprecision, st_x,
+                                                 st_y, _point_wkb_udf)
+    cust = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 400)
+    snapped = st_reduceprecision(
+        _point_wkb_udf(F.col("lng"), F.col("lat")), F.lit(1))
+    return cust.select(
+        "c_custkey",
+        F.round(st_x(snapped), 6).alias("snap_lng"),
+        F.round(st_y(snapped), 6).alias("snap_lat"))
+
+
 def q_s2_cell_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure-Column S2 cell arithmetic layer (functions/cells.py —
     op/cell.cc:40-123 semantics) over cell ids CONSTRUCTED from doc ids
@@ -880,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_difference": q_geo_difference,
         "geo_shortestline": q_geo_shortestline,
         "geo_simplify": q_geo_simplify,
+        "geo_reduce_precision": q_geo_reduce_precision,
         "s2_cell_ops": q_s2_cell_ops,
         "simhash_banded": q_simhash_banded,
         "text_stats": q_text_stats,
@@ -1163,6 +1180,14 @@ def oracle_sql() -> dict[str, str]:
                      * sin(radians(lng1 - lng0) / 2.0))
                ) / 100.0) AS BIGINT) AS perim_bucket
         FROM reg
+    """
+
+    sqls["geo_reduce_precision"] = f"""
+        WITH cust AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 400)
+        SELECT c_custkey,
+               round(round(lng, 1), 6) AS snap_lng,
+               round(round(lat, 1), 6) AS snap_lat
+        FROM cust
     """
 
     sqls["s2_cell_ops"] = """
