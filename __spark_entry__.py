@@ -635,6 +635,44 @@ def q_geo_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_npoints(g).alias("nv"))
 
 
+def q_geo_union_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s2_unary_union (loop-parity repair over an overlapping MULTIPOLYGON)
+    + st_pointonsurface, ORACLED by box algebra: each region paired with
+    its (+2,+1)-shifted copy forms one multipolygon whose unary union must
+    have area(a) + area(b) - area(a∩b) (exact spherical-rectangle closed
+    forms), merge into a single polygon (not a collection), and yield a
+    point-on-surface lying strictly inside the union's lng/lat bbox."""
+    import numpy as np
+    from s2geography_spark.core.geog import Geog, to_wkb
+    from s2geography_spark.functions.geo import (st_area, st_iscollection,
+                                                 st_pointonsurface,
+                                                 st_unaryunion, st_x, st_y)
+    from s2geography_spark.sources.regions import densified_rect, region_corners
+    rs = np.arange(N_REGIONS)
+    l0, t0, l1, t1 = region_corners(rs)
+    rows = []
+    for i, r in enumerate(rs):
+        a = densified_rect(float(l0[i]), float(t0[i]),
+                           float(l1[i]), float(t1[i]))
+        b = densified_rect(float(l0[i]) + 2, float(t0[i]) + 1,
+                           float(l1[i]) + 2, float(t1[i]) + 1)
+        rows.append((int(r), to_wkb(Geog(polys=a.polys + b.polys)),
+                     float(l0[i]), float(t0[i]),
+                     float(l1[i]) + 2, float(t1[i]) + 1))
+    df = spark.createDataFrame(
+        rows, "region_id long, multi binary, bl0 double, bt0 double,"
+              " bl1 double, bt1 double")
+    u = st_unaryunion(F.col("multi"))
+    pos = st_pointonsurface(u)
+    return df.select(
+        "region_id",
+        F.floor(st_area(u) / 1e10).cast("long").alias("union_bucket"),
+        (~st_iscollection(u)).alias("merged"),
+        ((st_x(pos) > F.col("bl0")) & (st_x(pos) < F.col("bl1"))
+         & (st_y(pos) > F.col("bt0")) & (st_y(pos) < F.col("bt1")))
+        .alias("pos_in_bbox"))
+
+
 def q_geo_reduce_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_reduceprecision (IntLatLngSnapFunction analog, exponent form) on
     customer points at 10^-1 degrees: every synthetic coordinate ends in
@@ -657,13 +695,17 @@ def q_s2_cell_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bit math both engines reproduce: face 0..3, level 10..25, 20
     pseudo-random position bits above the trailing-one marker.  The oracle
     recomputes level (by construction), parent-at-8 (mask formula), the
-    range endpoints, containment, validity, and the hex token
-    (to_hex + pad + strip) independently in SQL."""
+    range endpoints, containment, validity, the hex token (to_hex + pad +
+    strip), the face/base-4 Hilbert-path debug string (string_agg over the
+    position digits), and common-ancestor levels (self = level, vs
+    parent-at-8 = 8, vs a different face = -1) independently in SQL."""
     from s2geography_spark.functions.cells import (cell_contains,
                                                    cell_is_valid, cell_level,
                                                    cell_parent,
                                                    cell_range_max,
                                                    cell_range_min, cell_token)
+    from s2geography_spark.functions.geo import (
+        s2_cell_common_ancestor_level, s2_celltodebugstring)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id").where(F.col("doc_id") < 200)
     shift = "CAST(2 * (30 - (doc_id % 16 + 10)) AS INT)"
@@ -672,7 +714,9 @@ def q_s2_cell_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" | shiftleft(CAST((doc_id * 48271 + 11) % 1048576 AS BIGINT),"
         f"             {shift} + 1)"
         f" | shiftleft(CAST(1 AS BIGINT), {shift})")
-    d = docs.select("doc_id", cid.alias("cid"))
+    cross = F.expr("shiftleft(CAST((doc_id + 1) % 4 AS BIGINT), 61)"
+                   " | shiftleft(CAST(1 AS BIGINT), 60)")
+    d = docs.select("doc_id", cid.alias("cid"), cross.alias("cross_cid"))
     par8 = cell_parent(F.col("cid"), 8)
     return d.select(
         "doc_id", "cid",
@@ -681,6 +725,12 @@ def q_s2_cell_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_range_min(F.col("cid")).alias("rmin"),
         cell_range_max(F.col("cid")).alias("rmax"),
         cell_token(F.col("cid")).alias("token"),
+        s2_celltodebugstring(F.col("cid")).alias("dbg"),
+        s2_cell_common_ancestor_level(F.col("cid"), F.col("cid"))
+        .alias("cal_self"),
+        s2_cell_common_ancestor_level(F.col("cid"), par8).alias("cal_par"),
+        s2_cell_common_ancestor_level(F.col("cid"), F.col("cross_cid"))
+        .alias("cal_cross"),
         cell_contains(par8, F.col("cid")).alias("par_contains"),
         cell_contains(F.col("cid"), par8).alias("child_contains_parent"),
         cell_is_valid(F.col("cid")).alias("valid"))
@@ -994,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_simplify": q_geo_simplify,
         "geo_wkt_io": q_geo_wkt_io,
         "geo_accessors": q_geo_accessors,
+        "geo_union_pos": q_geo_union_pos,
         "geo_reduce_precision": q_geo_reduce_precision,
         "s2_cell_ops": q_s2_cell_ops,
         "simhash_banded": q_simhash_banded,
@@ -1304,6 +1355,30 @@ def oracle_sql() -> dict[str, str]:
         FROM reg CROSS JOIN cases
     """
 
+    sqls["geo_union_pos"] = f"""
+        WITH reg AS ({_REG_SQL}),
+        p AS (SELECT region_id,
+                     lng0 AS al0, lat0 AS at0, lng1 AS al1, lat1 AS at1,
+                     lng0 + 2 AS bl0, lat0 + 1 AS bt0,
+                     lng1 + 2 AS bl1, lat1 + 1 AS bt1
+              FROM reg),
+        ar AS (SELECT region_id,
+                      6371010.0*6371010.0*(sin(radians(at1)) - sin(radians(at0)))
+                        * radians(al1 - al0) AS area_a,
+                      6371010.0*6371010.0*(sin(radians(bt1)) - sin(radians(bt0)))
+                        * radians(bl1 - bl0) AS area_b,
+                      6371010.0*6371010.0*(sin(radians(least(at1, bt1)))
+                          - sin(radians(greatest(at0, bt0))))
+                        * radians(least(al1, bl1) - greatest(al0, bl0)) AS area_i
+               FROM p)
+        SELECT region_id,
+               CAST(floor((area_a + area_b - area_i) / 1e10) AS BIGINT)
+                 AS union_bucket,
+               true AS merged,
+               true AS pos_in_bbox
+        FROM ar
+    """
+
     sqls["geo_reduce_precision"] = f"""
         WITH cust AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 400)
         SELECT c_custkey,
@@ -1329,6 +1404,14 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
         SELECT doc_id, cid, lvl, par8, rmin, rmax,
                rtrim(lpad(lower(to_hex(cid)), 16, '0'), '0') AS token,
+               concat(CAST(cid >> 61 AS VARCHAR), '/',
+                      (SELECT string_agg(CAST((cid >> (61 - 2*i)) & 3
+                                              AS VARCHAR), '' ORDER BY i)
+                       FROM (SELECT unnest(generate_series(1, lvl)) AS i)))
+                 AS dbg,
+               lvl AS cal_self,
+               CAST(8 AS INT) AS cal_par,
+               CAST(-1 AS INT) AS cal_cross,
                (cid >= par8 - ((1::BIGINT << 44) - 1)
                 AND cid <= par8 + ((1::BIGINT << 44) - 1)) AS par_contains,
                (par8 >= rmin AND par8 <= rmax) AS child_contains_parent,
