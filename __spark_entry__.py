@@ -635,6 +635,85 @@ def q_geo_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_npoints(g).alias("nv"))
 
 
+def q_s2_tagged_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged binary transport (EncodeTagged/DecodeTagged,
+    geography_interface.h:118-201): customer points encode to the 4-byte
+    tag (kind=1 POINT, flags=0, covering_size=0, reserved=0) + 21-byte
+    point WKB = 25 bytes, inspected JVM-side by byte extraction; the
+    decode roundtrip's WKT must equal DuckDB's assembled string.  The
+    same customers' constructed cell ids (see q_s2_cell_ops) with level
+    >= 23 snap their cell-center points to the 12-byte CELL_CENTER
+    compact form (kind=7) under hint=compact; coarser cells stay POINT."""
+    from s2geography_spark.functions.geo import (s2_cell_center,
+                                                 s2_encodetagged, st_astext,
+                                                 s2_decodetagged,
+                                                 _point_wkb_udf)
+    cust = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 200)
+    enc = s2_encodetagged(_point_wkb_udf(F.col("lng"), F.col("lat")),
+                          F.lit(False), F.lit(False))
+    byte = lambda c, i: F.expr(
+        f"CAST(conv(hex(substring({c}, {i}, 1)), 16, 10) AS INT)")
+    # cell-center compact form over the SAME constructed ids as s2_cell_ops
+    shift = "CAST(2 * (30 - (c_custkey % 16 + 10)) AS INT)"
+    cid = F.expr(
+        f"shiftleft(CAST(c_custkey % 4 AS BIGINT), 61)"
+        f" | shiftleft(CAST((c_custkey * 48271 + 11) % 1048576 AS BIGINT),"
+        f"             {shift} + 1)"
+        f" | shiftleft(CAST(1 AS BIGINT), {shift})")
+    cpt = s2_cell_center(cid)
+    cenc = s2_encodetagged(
+        _point_wkb_udf(F.col("_cx"), F.col("_cy")), F.lit(False), F.lit(True))
+    d = cust.select("c_custkey", enc.alias("enc"),
+                    F.col("lng"), F.col("lat"),
+                    cpt.getField("lng").alias("_cx"),
+                    cpt.getField("lat").alias("_cy"))
+    d = d.select("c_custkey", "enc", "lng", "lat", cenc.alias("cenc"))
+    return d.select(
+        "c_custkey",
+        byte("enc", 1).alias("kind"),
+        byte("enc", 2).alias("flags"),
+        byte("enc", 3).alias("cov_size"),
+        byte("enc", 4).alias("reserved"),
+        F.length("enc").cast("int").alias("enc_len"),
+        st_astext(s2_decodetagged(F.col("enc"))).alias("rt_wkt"),
+        byte("cenc", 1).alias("c_kind"),
+        F.length("cenc").cast("int").alias("c_len"))
+
+
+def q_geo_box_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s2_intersects_box over customer points (pure corner arithmetic for
+    the oracle: synthetic points live 0.125 deg off every integer edge)
+    plus the st_isvalid / st_isvalidreason truth table over five
+    constructed shapes per customer (valid rect, bowtie self-intersection,
+    <3-distinct-vertex ring, duplicate adjacent vertices, valid line) —
+    reasons are the reference's validation-error strings."""
+    from s2geography_spark.functions.geo import (s2_intersectsbox,
+                                                 st_geogfromtext, st_isvalid,
+                                                 st_isvalidreason,
+                                                 _point_wkb_udf)
+    cust = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 400)
+    pt = _point_wkb_udf(F.col("lng"), F.col("lat"))
+    # a deterministic per-customer box: does the point fall inside?
+    bl0 = F.floor(F.col("lng")) - F.pmod(F.col("c_custkey"), F.lit(3))
+    bt0 = F.floor(F.col("lat")) - F.pmod(F.col("c_custkey"), F.lit(2))
+    bl1 = bl0 + 2.0
+    bt1 = bt0 + 1.0
+    wkts = F.array(
+        F.lit("POLYGON ((0 0, 3 0, 3 2, 0 2, 0 0))"),
+        F.lit("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"),
+        F.lit("POLYGON ((0 0, 1 0, 0 0))"),
+        F.lit("POLYGON ((0 0, 0 0, 3 0, 3 2, 0 2, 0 0))"),
+        F.lit("LINESTRING (0 0, 5 5)"))
+    case = F.pmod(F.col("c_custkey"), F.lit(5)).cast("int")
+    g = st_geogfromtext(F.element_at(wkts, case + 1))
+    return cust.select(
+        "c_custkey",
+        s2_intersectsbox(pt, bl0, bt0, bl1, bt1).alias("in_box"),
+        case.alias("cs"),
+        st_isvalid(g).alias("valid"),
+        st_isvalidreason(g).alias("reason"))
+
+
 def q_geo_union_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s2_unary_union (loop-parity repair over an overlapping MULTIPOLYGON)
     + st_pointonsurface, ORACLED by box algebra: each region paired with
@@ -1045,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_wkt_io": q_geo_wkt_io,
         "geo_accessors": q_geo_accessors,
         "geo_union_pos": q_geo_union_pos,
+        "geo_box_valid": q_geo_box_valid,
+        "s2_tagged_io": q_s2_tagged_io,
         "geo_reduce_precision": q_geo_reduce_precision,
         "s2_cell_ops": q_s2_cell_ops,
         "simhash_banded": q_simhash_banded,
@@ -1353,6 +1434,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE cs WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
                             WHEN 3 THEN 0 WHEN 4 THEN 3 ELSE 4 END AS INT) AS nv
         FROM reg CROSS JOIN cases
+    """
+
+    sqls["s2_tagged_io"] = f"""
+        WITH cust AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 200)
+        SELECT c_custkey,
+               CAST(1 AS INT) AS kind, CAST(0 AS INT) AS flags,
+               CAST(0 AS INT) AS cov_size, CAST(0 AS INT) AS reserved,
+               CAST(25 AS INT) AS enc_len,
+               concat('POINT (', CAST(lng AS VARCHAR), ' ',
+                      CAST(lat AS VARCHAR), ')') AS rt_wkt,
+               CAST(CASE WHEN (c_custkey % 16 + 10) >= 23 THEN 7 ELSE 1 END
+                    AS INT) AS c_kind,
+               CAST(CASE WHEN (c_custkey % 16 + 10) >= 23 THEN 12 ELSE 25 END
+                    AS INT) AS c_len
+        FROM cust
+    """
+
+    sqls["geo_box_valid"] = f"""
+        WITH cust AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 400),
+        b AS (SELECT c_custkey, lng, lat,
+                     floor(lng) - (c_custkey % 3) AS bl0,
+                     floor(lat) - (c_custkey % 2) AS bt0,
+                     CAST(c_custkey % 5 AS INT) AS cs
+              FROM cust)
+        SELECT c_custkey,
+               (lng >= bl0 AND lng <= bl0 + 2.0
+                AND lat >= bt0 AND lat <= bt0 + 1.0) AS in_box,
+               cs,
+               (cs = 0 OR cs = 4) AS valid,
+               CASE cs WHEN 1 THEN 'ring self-intersection'
+                       WHEN 2 THEN 'ring with fewer than 3 distinct vertices'
+                       WHEN 3 THEN 'duplicate adjacent vertices in ring'
+                       ELSE 'Valid Geometry' END AS reason
+        FROM b
     """
 
     sqls["geo_union_pos"] = f"""
