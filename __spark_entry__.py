@@ -118,16 +118,18 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_id",
         _point_wkb_udf((F.col("lng0") + F.col("lng1")) / 2.0,
                        (F.col("lat0") + F.col("lat1")) / 2.0).alias("geog"))
-    # 5,000 km initial radius: most points resolve in round 1 while the
-    # radius-doubling pruning still excludes the far hemisphere (a larger
-    # radius would degenerate toward the dense join).  max_rounds=2: after
-    # the 10,000 km round only a residue of far-from-everything points
-    # remains, and for those the dense broadcast fallback (the dim is 96
-    # rows) is both exact and cheaper than two more covering rounds of
-    # driver-coordinated jobs; at a non-broadcastable dim scale the caller
-    # leaves max_rounds=None and the doubling provably terminates instead.
+    # 10,000 km initial radius, ONE covering round (measured round 4:
+    # identical 1503-row output in 3.1 s vs 7.2 s for the old 5,000 km x
+    # 2-round config — each driver-coordinated round costs ~2 s of job
+    # scheduling at this scale, so resolving nearly everything in one
+    # round wins while the covering pruning still excludes the far
+    # hemisphere).  The residue of far-from-everything points falls to the
+    # dense broadcast fallback (the dim is 96 rows — exact and cheaper
+    # than more covering rounds); at a non-broadcastable dim scale the
+    # caller leaves max_rounds=None and the radius doubling provably
+    # terminates instead.
     res = knn_join_covering(pts, centers, k=3, point_id="c_custkey",
-                            init_radius_m=5_000_000.0, max_rounds=2)
+                            init_radius_m=10_000_000.0, max_rounds=1)
     return res.select("c_custkey", "knn_rank", "region_id")
 
 
@@ -635,6 +637,40 @@ def q_geo_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_npoints(g).alias("nv"))
 
 
+def q_geoarrow_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native GeoArrow typed-array ingest/egress (geoarrow.h:59-115): per
+    customer a struct<x,y> point, an array<struct> meridian 2-point line,
+    and a nested-array 1-deg box ring ingest to WKB through the typed-array
+    UDFs; the oracle recomputes the point WKT by string assembly, the line
+    length as the exact meridian arc 2*lat*R, the polygon perimeter by the
+    geodesic closed form, and the egress roundtrip coordinate."""
+    from s2geography_spark.functions.geo import (st_astext, st_length,
+                                                 st_perimeter)
+    from s2geography_spark.functions.geoarrow import (
+        geoarrow_linestring_to_wkb, geoarrow_point_to_wkb,
+        geoarrow_polygon_to_wkb, wkb_to_geoarrow_point)
+    cust = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 300)
+    xy = lambda x, y: F.struct(x.alias("x"), y.alias("y"))
+    pt = xy(F.col("lng"), F.col("lat"))
+    line = F.array(xy(F.col("lng"), -F.col("lat")),
+                   xy(F.col("lng"), F.col("lat")))
+    bl = F.floor(F.col("lng"))
+    bt = F.floor(F.col("lat"))
+    ring = F.array(F.array(
+        xy(bl, bt), xy(bl + 1.0, bt), xy(bl + 1.0, bt + 1.0),
+        xy(bl, bt + 1.0), xy(bl, bt)))
+    pt_wkb = geoarrow_point_to_wkb()(pt)
+    return cust.select(
+        "c_custkey",
+        st_astext(pt_wkb).alias("pt_wkt"),
+        F.round(st_length(geoarrow_linestring_to_wkb()(line)), 3)
+         .alias("line_m"),
+        F.floor(st_perimeter(geoarrow_polygon_to_wkb()(ring)) / 100.0)
+         .cast("long").alias("perim_bucket"),
+        F.round(wkb_to_geoarrow_point()(pt_wkb).getField("x"), 6)
+         .alias("rt_x"))
+
+
 def q_s2_tagged_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged binary transport (EncodeTagged/DecodeTagged,
     geography_interface.h:118-201): customer points encode to the 4-byte
@@ -1126,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_union_pos": q_geo_union_pos,
         "geo_box_valid": q_geo_box_valid,
         "s2_tagged_io": q_s2_tagged_io,
+        "geoarrow_io": q_geoarrow_io,
         "geo_reduce_precision": q_geo_reduce_precision,
         "s2_cell_ops": q_s2_cell_ops,
         "simhash_banded": q_simhash_banded,
@@ -1434,6 +1471,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE cs WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
                             WHEN 3 THEN 0 WHEN 4 THEN 3 ELSE 4 END AS INT) AS nv
         FROM reg CROSS JOIN cases
+    """
+
+    sqls["geoarrow_io"] = f"""
+        WITH cust AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 300),
+        b AS (SELECT c_custkey, lng, lat,
+                     floor(lng) AS bl, floor(lat) AS bt
+              FROM cust)
+        SELECT c_custkey,
+               concat('POINT (', CAST(lng AS VARCHAR), ' ',
+                      CAST(lat AS VARCHAR), ')') AS pt_wkt,
+               round(radians(2.0 * abs(lat)) * 6371010.0, 3) AS line_m,
+               CAST(floor((
+                   2.0 * radians(1.0) * 6371010.0
+                 + 2.0 * 6371010.0 * asin(cos(radians(bt)) * sin(radians(0.5)))
+                 + 2.0 * 6371010.0 * asin(cos(radians(bt + 1.0)) * sin(radians(0.5)))
+               ) / 100.0) AS BIGINT) AS perim_bucket,
+               round(lng, 6) AS rt_x
+        FROM b
     """
 
     sqls["s2_tagged_io"] = f"""
