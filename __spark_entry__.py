@@ -1114,6 +1114,22 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("sum_value", 2).alias("sum_value_r"))
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows via Spark's native session_window operator
+    (streaming/events.py — the same code path runs under a watermark as a
+    stream), ORACLED by the classic gaps-and-islands SQL: a session breaks
+    where the inter-event gap exceeds 30 minutes; session_end is the last
+    event + gap.  Timestamps compare as epoch microseconds."""
+    from s2geography_spark.streaming.events import session_windows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_windows(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("start_us"),
+        F.unix_micros(F.col("session_end")).alias("end_us"),
+        "n_events")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1177,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_agg": q_lineitem_agg,
         "top_customers": q_top_customers,
         "events_window": q_events_window,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -1829,6 +1846,24 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) AS n_events,
                round(CAST(sum(value) AS DOUBLE), 2) AS sum_value_r
         FROM events GROUP BY 1, 2
+    """
+
+    sqls["events_sessions"] = """
+        WITH m AS (SELECT user_id, ts,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS brk
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        g AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+        SELECT user_id,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+               CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS end_us,
+               count(*) AS n_events
+        FROM g GROUP BY user_id, sid
     """
 
     sqls["embedding_near_dup"] = """
