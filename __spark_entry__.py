@@ -814,7 +814,7 @@ def q_s2_cell_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip), the face/base-4 Hilbert-path debug string (string_agg over the
     position digits), and common-ancestor levels (self = level, vs
     parent-at-8 = 8, vs a different face = -1) independently in SQL."""
-    from s2geography_spark.functions.cells import (cell_contains,
+    from s2geography_spark.functions.cells import (cell_child, cell_contains,
                                                    cell_is_valid, cell_level,
                                                    cell_parent,
                                                    cell_range_max,
@@ -848,6 +848,8 @@ def q_s2_cell_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cal_cross"),
         cell_contains(par8, F.col("cid")).alias("par_contains"),
         cell_contains(F.col("cid"), par8).alias("child_contains_parent"),
+        cell_child(F.col("cid"), 0).alias("child0"),
+        cell_child(F.col("cid"), 3).alias("child3"),
         cell_is_valid(F.col("cid")).alias("valid"))
 
 
@@ -1602,6 +1604,8 @@ def oracle_sql() -> dict[str, str]:
                (cid >= par8 - ((1::BIGINT << 44) - 1)
                 AND cid <= par8 + ((1::BIGINT << 44) - 1)) AS par_contains,
                (par8 >= rmin AND par8 <= rmax) AS child_contains_parent,
+               cid - lsb + 1 * (lsb >> 2) AS child0,
+               cid - lsb + 7 * (lsb >> 2) AS child3,
                true AS valid
         FROM x
     """

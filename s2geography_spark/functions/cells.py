@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cell_lsb", "cell_level", "cell_parent", "cell_range_min",
     "cell_range_max", "cell_contains", "cell_ord", "cell_token",
-    "cell_is_valid", "cell_join_key",
+    "cell_is_valid", "cell_join_key", "cell_child",
 ]
 
 _LONG_MIN = -(1 << 63)
@@ -79,6 +79,18 @@ def cell_join_key(cid: Column) -> Column:
     chain, costing 40x on the probe side.  x ^ (x >>> 31) is invertible, so
     joining on the mixed key is exactly equivalent to joining on the id."""
     return cid.bitwiseXOR(F.shiftrightunsigned(cid, 31))
+
+
+def cell_child(cid: Column, k: int) -> Column:
+    """k-th child (0..3) in id space: cid - lsb + (2k+1)*(lsb/4) — the
+    children partition the parent's Hilbert range into four quarters whose
+    center markers sit at the odd quarter positions (op/cell.cc Child).
+    Callers validate the cell is not a leaf."""
+    if not 0 <= k <= 3:
+        raise ValueError(f"child index {k} out of range 0..3")
+    lsb = cell_lsb(cid)
+    quarter = F.shiftrightunsigned(lsb, 2)
+    return cid - lsb + F.lit(2 * k + 1).cast("long") * quarter
 
 
 def cell_token(cid: Column) -> Column:

@@ -220,3 +220,28 @@ def test_shuffle_rows_interior_shortcut_matches_broadcast(spark):
         sa = {(r.id, r.region_id) for r in a.select("id", "region_id").collect()}
         sb = {(r.id, r.region_id) for r in b.select("id", "region_id").collect()}
         assert sa == sb, predicate
+
+
+def test_cell_child_column_matches_numpy(spark):
+    """The new cell_child Column function must agree with the NumPy kernel
+    across random levels and child indices."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from s2geography_spark.core import cellid as C
+    from s2geography_spark.functions.cells import cell_child
+    rng = np.random.default_rng(11)
+    ids = []
+    for _ in range(60):
+        lev = int(rng.integers(0, 29))
+        lsb = 1 << (2 * (30 - lev))
+        pos = int(rng.integers(0, 1 << min(60, 2 * lev + 1))) if lev else 0
+        ids.append((int(rng.integers(0, 4)) << 61)
+                   | ((pos << (2 * (30 - lev) + 1)) & ((1 << 61) - 1)) | lsb)
+    df = spark.createDataFrame([(np.int64(np.uint64(i)).item(),) for i in ids],
+                               "cid long")
+    got = df.select("cid", *[cell_child(F.col("cid"), k).alias(f"c{k}")
+                             for k in range(4)]).collect()
+    arr = np.array([r.cid for r in got], dtype=np.int64).view(np.uint64)
+    for k in range(4):
+        want = C.child(arr, np.full(len(arr), k)).view(np.int64)
+        assert [r[f"c{k}"] for r in got] == want.tolist(), k
