@@ -133,6 +133,22 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("c_custkey", "knn_rank", "region_id")
 
 
+def q_geo_knn_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DENSE kNN building block (broadcast pairing + vectorized
+    distance + window top-k — the small-dim path the covering query falls
+    back to), against the same brute-force SQL oracle as geo_knn: both
+    must produce identical top-3 rankings."""
+    from s2geography_spark.functions.geo import _point_wkb_udf
+    from s2geography_spark.operators.spatial_join import knn_join
+    pts = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 500)
+    centers = _regions(spark).select(
+        "region_id",
+        _point_wkb_udf((F.col("lng0") + F.col("lng1")) / 2.0,
+                       (F.col("lat0") + F.col("lat1")) / 2.0).alias("geog"))
+    res = knn_join(pts, centers, k=3, point_id="c_custkey")
+    return res.select("c_custkey", "knn_rank", "region_id")
+
+
 def q_geo_centroid_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical centroid aggregate per nation THROUGH the
     engine's CentroidAggregator operator (aggregates.centroid_agg — the
@@ -1157,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_pairs": q_geo_pip_pairs,
         "geo_pip_counts": q_geo_pip_counts,
         "geo_knn": q_geo_knn,
+        "geo_knn_dense": q_geo_knn_dense,
         "geo_centroid_nation": q_geo_centroid_nation,
         "geo_tiles_z8": q_geo_tiles_z8,
         "geo_s2_tiles_l8": q_geo_s2_tiles_l8,
@@ -1220,6 +1237,24 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["geo_knn"] = f"""
+        WITH pts AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 500),
+        ctr AS (SELECT region_id, (lng0+lng1)/2.0 AS clng, (lat0+lat1)/2.0 AS clat
+                FROM ({_REG_SQL})),
+        d AS (SELECT p.c_custkey, c.region_id,
+                     2*asin(sqrt( sin(radians(c.clat - p.lat)/2)*sin(radians(c.clat - p.lat)/2)
+                       + cos(radians(p.lat))*cos(radians(c.clat))
+                         * sin(radians(c.clng - p.lng)/2)*sin(radians(c.clng - p.lng)/2)))
+                     AS dist
+              FROM pts p CROSS JOIN ctr c),
+        rk AS (SELECT c_custkey, region_id,
+                      row_number() OVER (PARTITION BY c_custkey
+                                         ORDER BY dist ASC, region_id ASC) AS knn_rank
+               FROM d)
+        SELECT c_custkey, CAST(knn_rank AS INT) AS knn_rank, region_id
+        FROM rk WHERE knn_rank <= 3
+    """
+
+    sqls["geo_knn_dense"] = f"""
         WITH pts AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 500),
         ctr AS (SELECT region_id, (lng0+lng1)/2.0 AS clng, (lat0+lat1)/2.0 AS clat
                 FROM ({_REG_SQL})),
