@@ -77,8 +77,12 @@ def _prepared_regions(spark: SparkSession):
     prepare_regions for exactly this; rebuilding it per query re-paid the
     driver-side covering/interior/broadcast prep on every invocation)."""
     from s2geography_spark.operators.spatial_join import prepare_regions
-    key = id(spark)
+    # keyed by applicationId, not id(spark): a stopped session's id() (or a
+    # matching sf_dir) can recycle, returning broadcasts that belong to a
+    # dead SparkContext (round-4 ADVICE); appId is unique per context
+    key = spark.sparkContext.applicationId
     if key not in _PREPARED_REGIONS:
+        _PREPARED_REGIONS.clear()  # entries for dead contexts are useless
         _PREPARED_REGIONS[key] = prepare_regions(spark, _regions(spark))
     return _PREPARED_REGIONS[key]
 
@@ -235,7 +239,8 @@ def _overlap_pair_df(spark: SparkSession) -> DataFrame:
     queries (q_geo_overlap_area, q_geo_difference).
 
     Plan: covering equi-join (geog_pair_join — both sides explode their
-    fixed-level-6 coverings and hash-join on the cell key; NO
+    fixed-level-8 coverings — matching the level=8 argument below — and
+    hash-join on the cell key; NO
     BroadcastNestedLoopJoin / cartesian anywhere), bbox filter to the exact
     positive-interior pair set.  O(covering overlap), not O(N*M) — the
     plan survives both sides growing 100x."""
@@ -977,16 +982,21 @@ _LIVE_CACHE: dict = {}
 
 
 def _scoped_persist(key: str, build, sf_dir: str) -> DataFrame:
+    # scope includes the applicationId: a frame persisted under a stopped
+    # SparkContext must not be returned to a new session whose sf_dir
+    # happens to match (round-4 ADVICE — stale cached blocks fail at use)
     entry = _LIVE_CACHE.get(key)
-    if entry is not None and entry[0] == sf_dir:
+    df0 = build()
+    app_id = df0.sparkSession.sparkContext.applicationId
+    if entry is not None and entry[0] == (sf_dir, app_id):
         return entry[1]
     if entry is not None:
         try:
             entry[1].unpersist()
         except Exception:
             pass
-    df = build().persist()
-    _LIVE_CACHE[key] = (sf_dir, df)
+    df = df0.persist()
+    _LIVE_CACHE[key] = ((sf_dir, app_id), df)
     return df
 
 

@@ -30,6 +30,13 @@ EARTH_RADIUS_METERS = sphere.EARTH_RADIUS_METERS
 # touch tolerance in radians (~6 micrometers on Earth); the reference's exact
 # predicates use robust arithmetic — float WKB inputs make an epsilon model
 # equivalent for non-adversarial data.
+#
+# Documented knife-edge (round-4 ADVICE): a genuine transversal crossing
+# whose intersection passes within EPS_RAD of an arc endpoint is classified
+# as contact, so s2_contains / s2_touches can report containment/touching
+# for geometries that cross within ~6 um of a vertex.  The SAME constant is
+# used by _edges_cross_transversal and contains_points' boundary test, so
+# the two checks cannot disagree about one configuration.
 EPS_RAD = 1e-12
 
 

@@ -227,3 +227,70 @@ def test_boundary_band_broadcast_matches_shuffle(spark):
     assert got_b == got_s
     # sanity: the inside-offset points actually joined
     assert len(got_b) > len(rows) / 3
+
+
+def test_interior_shortcut_hole_inside_one_cell(spark):
+    """Round-4 ADVICE (medium): a hole ring strictly inside one covering
+    cell left no corner/crossing evidence, so the cell was flagged interior
+    and points in the hole joined without the PIP refine.  Both join paths
+    must exclude the hole point and keep a nearby shell point."""
+    from s2geography_spark.core.geog import from_wkt, to_wkb
+    from s2geography_spark.functions.geo import s2_coveringcellids
+
+    # 10-degree shell; 0.02-degree hole well inside a level-8 cell (~0.6 deg)
+    wkt = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+           "(5.01 5.01, 5.01 5.03, 5.03 5.03, 5.03 5.01, 5.01 5.01))")
+    wkb = to_wkb(from_wkt(wkt))
+    regions = spark.createDataFrame([(1, bytearray(wkb))],
+                                    "region_id long, geog binary")
+    regions = regions.withColumn("covering", s2_coveringcellids("geog"))
+    pts = spark.createDataFrame(
+        [(0, 5.02, 5.02),    # inside the hole -> NOT contained
+         (1, 5.2, 5.2),      # in the shell, same neighborhood -> contained
+         (2, 2.0, 2.0)],     # deep interior -> contained
+        "pid long, lng double, lat double")
+    for kwargs in ({}, {"broadcast": False}, {"broadcast": False, "salt": 2}):
+        got = {r.pid for r in
+               spatial_join(pts, regions, predicate="contains", **kwargs)
+               .select("pid").collect()}
+        assert got == {1, 2}, kwargs
+
+
+def test_interior_flags_vertex_in_cell():
+    """Unit check of the vertex-evidence rule: a cell holding a hole ring
+    must not be flagged full; a clean interior cell still is."""
+    from s2geography_spark.core import cellid as C
+    from s2geography_spark.core.geog import from_wkt
+    from s2geography_spark.operators.spatial_join import _interior_cell_flags
+
+    g = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                 "(5.01 5.01, 5.01 5.03, 5.03 5.03, 5.03 5.01, 5.01 5.01))")
+    ra, rb = g.ring_edges_xyz()
+    hole_cell = C.from_lnglat(np.array([5.02]), np.array([5.02]), lev=8)
+    clean_cell = C.from_lnglat(np.array([2.0]), np.array([2.0]), lev=10)
+    flags = _interior_cell_flags(
+        np.concatenate([hole_cell, clean_cell]).astype(np.uint64), ra, rb)
+    assert flags.tolist() == [False, True]
+
+
+def test_prepared_regions_exploded_guard(spark):
+    """VERDICT r4 #5: the broadcast guard must bound the POST-explosion
+    cell count, not just input rows/bytes; an oversized dim falls back to
+    the shuffle path in spatial_join and raises in PreparedRegions."""
+    from s2geography_spark.core.geog import from_wkt, to_wkb
+    from s2geography_spark.operators.spatial_join import (PreparedRegions,
+                                                          dim_is_broadcastable)
+
+    wkb = to_wkb(from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    regions = spark.createDataFrame([(1, bytearray(wkb))],
+                                    "region_id long, geog binary")
+    from s2geography_spark.functions.geo import s2_coveringcellids
+    regions = regions.withColumn("covering", s2_coveringcellids("geog"))
+    ncells = regions.select(F.sum(F.size("covering"))).collect()[0][0]
+    assert not dim_is_broadcastable(regions, "geog", covering_col="covering",
+                                    max_cells=ncells - 1)
+    assert dim_is_broadcastable(regions, "geog", covering_col="covering",
+                                max_cells=ncells)
+    with pytest.raises(ValueError, match="exploded covering cells"):
+        PreparedRegions(spark, regions, "geog", "region_id", "covering",
+                        max_cells=ncells - 1)
