@@ -155,7 +155,8 @@ def run_join_bench(spark, mentions_path: str):
     return int(rows_in), rows_out, dt
 
 
-def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4):
+def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4,
+                           refine_mode: str = "auto"):
     """Shuffle-path variant of the headline join (broadcast=False): region
     WKB travels with rows through a hash-partitioned equi-join on the
     (salted) cell key — the mode a non-broadcastable dim takes.  Used by
@@ -179,7 +180,8 @@ def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4):
     mentions = mentions.select(*cols)
     t0 = time.time()
     joined = spatial_join(mentions, regions, predicate="contains",
-                          broadcast=False, salt=salt, level=8, leaf_col=leaf)
+                          broadcast=False, salt=salt, level=8, leaf_col=leaf,
+                          refine_mode=refine_mode)
     out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
     dt = time.time() - t0
     rows_out = int(sum(r.n for r in out))
@@ -197,17 +199,29 @@ def main():
 
     import __spark_entry__ as entry_mod
 
-    # flagship spatial join scaled with sf (~2.5 mentions/page)
+    # flagship spatial join scaled with sf (~2.5 mentions/page).
+    # Interleaved-median protocol (round-4 verdict: a single cold sample
+    # ranged 2.7-19.8 s across reps on this drifting host): one untimed
+    # warmup then 3 timed reps, report the MEDIAN with min/max dispersion.
+    import statistics
     n_pages = max(int(float(sf) * 2_000_000), 20_000)
-    rows_in, rows_out, join_sec = run_flagship(spark, n_pages)
+    flagship_reps = []
+    for i in range(4):
+        rows_in, rows_out, dt = run_flagship(spark, n_pages)
+        if i > 0:
+            flagship_reps.append(dt)
+    join_sec = statistics.median(flagship_reps)
 
     # headline metric: join-only over pre-materialized mentions (the
     # BASELINE.json "spatial-join rows/sec (cover+PIP refine)")
     mpath = f"/tmp/s2bench_mentions_sf{sf}"
     materialize_mentions(spark, n_pages, mpath)
-    jri, jro, jdt = run_join_bench(spark, mpath)
-    jri, jro, jdt2 = run_join_bench(spark, mpath)
-    jdt = min(jdt, jdt2)
+    join_only_reps = []
+    for i in range(4):
+        jri, jro, jdt = run_join_bench(spark, mpath)
+        if i > 0:
+            join_only_reps.append(jdt)
+    jdt = statistics.median(join_only_reps)
 
     timings = {"spatial_join_flagship": round(join_sec, 3),
                "spatial_join_only": round(jdt, 3)}
@@ -250,8 +264,12 @@ def main():
             "mentions_in": rows_in,
             "join_rows_out": rows_out,
             "end_to_end_seconds": round(join_sec, 3),
+            "end_to_end_min_max": [round(min(flagship_reps), 3),
+                                   round(max(flagship_reps), 3)],
             "end_to_end_rows_per_sec": round(rows_in / join_sec, 1),
             "join_only_seconds": round(jdt, 3),
+            "join_only_min_max": [round(min(join_only_reps), 3),
+                                  round(max(join_only_reps), 3)],
             "join_only_rows_per_sec": round(jri / jdt, 1),
         },
         "cpus": cpus,

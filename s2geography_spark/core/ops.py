@@ -710,6 +710,26 @@ def s2_y(g: Optional[Geog]) -> Optional[float]:
     return float("nan")
 
 
+def s2_z(g: Optional[Geog]) -> Optional[float]:
+    """Z of a single XYZ/XYZM point; NaN otherwise — the accessor face of
+    the ZM transport the reference threads through every kernel
+    (geoarrow-geography.h:64-67 dimension negotiation)."""
+    if g is None:
+        return None
+    if len(g.points) == 1 and not g.lines and not g.polys and g.zm[0]:
+        return float(g.points[0, 2])
+    return float("nan")
+
+
+def s2_m(g: Optional[Geog]) -> Optional[float]:
+    """M of a single XYM/XYZM point; NaN otherwise."""
+    if g is None:
+        return None
+    if len(g.points) == 1 and not g.lines and not g.polys and g.zm[1]:
+        return float(g.points[0, 2 + int(g.zm[0])])
+    return float("nan")
+
+
 def _centroid_zm(g: Geog) -> np.ndarray:
     """Z/M of the centroid, weighted per the highest dimension present
     (accessors-geog ZM goldens): dim 0 = mean of point values; dim 1 =

@@ -31,8 +31,10 @@ __all__ = [
     "st_geogfromtext", "st_geogfromwkb", "st_astext", "st_intersects",
     "st_contains",
     "st_within", "st_disjoint", "st_equals", "st_dwithin", "st_distance",
+    "st_distance_lnglat",
     "st_maxdistance", "st_closestpoint", "st_shortestline", "st_longestline",
-    "st_area", "st_length", "st_perimeter", "st_x", "st_y", "st_npoints",
+    "st_area", "st_length", "st_perimeter", "st_x", "st_y", "st_z", "st_m",
+    "st_npoints",
     "st_dimension", "st_isempty", "st_iscollection", "st_centroid",
     "st_boundingbox", "st_lineinterpolatepoint", "st_linelocatepoint",
     "s2_cellidfrompoint", "s2_coveringcellids", "s2_coveringcellids_buffered",
@@ -220,6 +222,21 @@ def st_dwithin(a: pd.Series, b: pd.Series, dist: pd.Series) -> pd.Series:
                       for x, y, d in zip(ga, gb, dist)], dtype=object)
 
 
+def st_distance_lnglat(lng1, lat1, lng2, lat2):
+    """Great-circle distance (meters) between two lng/lat point columns —
+    the FACTORIZED point-point form: pure Catalyst haversine, whole-stage
+    codegen, no WKB encode/decode and no Python (round-4 verdict: building
+    WKB on both sides just to feed st_distance costs two Python encode
+    passes + one decode per row for math the JVM does natively).  Matches
+    st_distance's point-point fast path within float64 rounding."""
+    dlat = F.radians(lat2 - lat1) / 2
+    dlng = F.radians(lng2 - lng1) / 2
+    h = (F.sin(dlat) * F.sin(dlat)
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+         * F.sin(dlng) * F.sin(dlng))
+    return 2.0 * F.asin(F.sqrt(h)) * F.lit(float(ops.EARTH_RADIUS_METERS))
+
+
 @pandas_udf(T.DoubleType())
 def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     # point x point fast path: pure NumPy great-circle
@@ -344,6 +361,8 @@ st_length = _unary_double(ops.s2_length)
 st_perimeter = _unary_double(ops.s2_perimeter)
 st_x = _unary_double(ops.s2_x)
 st_y = _unary_double(ops.s2_y)
+st_z = _unary_double(ops.s2_z)
+st_m = _unary_double(ops.s2_m)
 
 
 @pandas_udf(T.IntegerType())
@@ -852,6 +871,7 @@ def register_sql_functions(spark):
         "st_shortestline": st_shortestline, "st_longestline": st_longestline,
         "st_area": st_area, "st_length": st_length,
         "st_perimeter": st_perimeter, "st_x": st_x, "st_y": st_y,
+        "st_z": st_z, "st_m": st_m,
         "st_npoints": st_npoints, "st_dimension": st_dimension,
         "st_isempty": st_isempty, "st_iscollection": st_iscollection,
         "st_centroid": st_centroid, "st_boundingbox": st_boundingbox,

@@ -4,17 +4,19 @@ The decode step is REAL for the formats a from-scratch codec can honestly
 implement —
 
   * images: PPM (P6) / PGM (P5) — header + raw samples; PNG (round 3) —
-    full 8-bit grayscale/RGB/RGBA decode + encode on stdlib zlib with all
-    five scanline filters (no interlace)
+    every non-interlaced color mode on stdlib zlib with all five scanline
+    filters; baseline JPEG (round 5, operators/jpeg.py) — SOF0 JFIF
+    decode (gray + YCbCr up to 4:2:0, restart intervals) and an Annex-K
+    encoder for planting deterministic fixtures
   * audio:  WAV (RIFF, 16-bit PCM)
   * video:  a simple length-prefixed container of PPM frames ("VID1")
 
 so decode / feature-extract / resize / frame-sample run end-to-end on real
-bytes.  Codecs needing external libraries this container lacks (JPEG/MP3/
-H264) still raise the clearly marked NotImplementedError seam; swapping
-PIL/ffmpeg in changes only the codec table.  The Spark side (schemas,
-mapInPandas batch shapes, frame-explosion partition shape) is unchanged
-and tested.
+bytes.  Codecs needing external libraries this container lacks
+(progressive JPEG / MP3 / H264) still raise the clearly marked
+NotImplementedError seam; swapping PIL/ffmpeg in changes only the codec
+table.  The Spark side (schemas, mapInPandas batch shapes, frame-explosion
+partition shape) is unchanged and tested.
 """
 
 from __future__ import annotations
@@ -218,10 +220,14 @@ def decode_png(buf: bytes) -> np.ndarray:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Codec-dispatching image decode: PPM/PGM or PNG natively; anything
-    else raises the NotImplementedError external-library seam."""
+    """Codec-dispatching image decode: PPM/PGM, PNG, or baseline JPEG
+    natively; anything else raises the NotImplementedError external-library
+    seam (via decode_ppm's magic check)."""
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(buf)
     return decode_ppm(buf)
 
 
@@ -304,8 +310,13 @@ def _synth_media(seed: int):
     if kind == "image":
         w, h = 16 + seed % 48, 16 + seed % 32
         img = _synth_image(seed, w, h)
-        if seed % 2:  # alternate REAL codecs: compressed PNG and raw PPM
+        # rotate the REAL codecs: raw PPM, compressed PNG, baseline JPEG
+        pick = (seed // 3) % 3
+        if pick == 1:
             return kind, "image/png", encode_png(img), w, h, 0
+        if pick == 2:
+            from .jpeg import encode_jpeg
+            return kind, "image/jpeg", encode_jpeg(img), w, h, 0
         return kind, "image/ppm", encode_ppm(img), w, h, 0
     if kind == "audio":
         n = 1600 + (seed % 10) * 160  # 100-190 ms at 16 kHz

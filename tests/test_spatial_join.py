@@ -294,3 +294,50 @@ def test_prepared_regions_exploded_guard(spark):
     with pytest.raises(ValueError, match="exploded covering cells"):
         PreparedRegions(spark, regions, "geog", "region_id", "covering",
                         max_cells=ncells - 1)
+
+
+def test_subdivided_equals_rows_refine(spark, mentions):
+    """The subdivided-cell parity refine (round-5 shuffle path) must produce
+    exactly the WKB winding refine's pairs, on the corpus and on the
+    antimeridian/pole special regions."""
+    regions = regions_df(spark, 24)
+    sub = spatial_join(mentions, regions, predicate="contains",
+                       broadcast=False, refine_mode="subdivided")
+    wkb = spatial_join(mentions, regions, predicate="contains",
+                       broadcast=False, refine_mode="rows")
+    key = ["url", "mention_idx", "region_id"]
+    a = {tuple(r) for r in sub.select(*key).collect()}
+    b = {tuple(r) for r in wkb.select(*key).collect()}
+    assert a == b and len(a) > 0
+
+    pts = spark.createDataFrame(
+        [(0, 179.9, 0.0), (1, -179.9, 1.0), (2, 0.0, 89.0),
+         (3, 0.0, 0.0), (4, 150.0, -40.0), (5, 177.0, 3.0)],
+        "pid long, lng double, lat double")
+    specials = special_regions_df(spark)
+    got = {(r.pid, r.region_id) for r in
+           spatial_join(pts, specials, predicate="contains", broadcast=False,
+                        refine_mode="subdivided")
+           .select("pid", "region_id").collect()}
+    ref = {(r.pid, r.region_id) for r in
+           spatial_join(pts, specials, predicate="contains", broadcast=False,
+                        refine_mode="rows")
+           .select("pid", "region_id").collect()}
+    assert got == ref
+    assert (0, 1000) in got and (2, 1001) in got
+
+
+def test_subdivided_broadcast_mode(spark, mentions):
+    """subdivided_broadcast (state-table broadcast, map-only fact side)
+    must produce exactly the shuffle-path pairs; oversized state raises."""
+    regions = regions_df(spark, 24)
+    key = ["url", "mention_idx", "region_id"]
+    a = {tuple(r) for r in
+         spatial_join(mentions, regions, predicate="contains",
+                      broadcast=False, refine_mode="subdivided_broadcast")
+         .select(*key).collect()}
+    b = {tuple(r) for r in
+         spatial_join(mentions, regions, predicate="contains",
+                      broadcast=False, refine_mode="subdivided")
+         .select(*key).collect()}
+    assert a == b and len(a) > 0
