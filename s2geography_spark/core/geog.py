@@ -364,15 +364,26 @@ _ORIENTED_FRAME = bytes([ORIENTED_FRAME_KIND, FLAG_ORIENTED, 0, 0])
 
 def has_inverted_poly(g: Geog) -> bool:
     """True when any polygon's net signed ring area is negative — the
-    oriented-import complement form that plain WKB cannot round-trip."""
+    oriented-import complement form that plain WKB cannot round-trip.
+
+    Memoized on the instance (round-4 ADVICE: recomputing signed areas
+    with fresh lnglat_to_xyz on every polygonal to_wkb call is a per-row
+    cost on hot write paths; Geog ring data is immutable by convention
+    after construction/decode)."""
+    cached = g._xyz_cache.get("inverted")
+    if cached is not None:
+        return cached
+    inv = False
     for rings in g.polys:
         tot = 0.0
         for r in rings:
             if len(r) >= 4:
                 tot += sphere.ring_signed_area(sphere.lnglat_to_xyz(r[:, :2]))
         if tot < 0:
-            return True
-    return False
+            inv = True
+            break
+    g._xyz_cache["inverted"] = inv
+    return inv
 
 
 def from_wkb(buf: Optional[bytes], oriented: bool = False,
@@ -483,6 +494,21 @@ def to_wkb(g: Optional[Geog]) -> Optional[bytes]:
         return None
     if g.polys and has_inverted_poly(g):
         return _ORIENTED_FRAME + _to_wkb_body(g)
+    return _to_wkb_body(g)
+
+
+def to_wkb_standard(g: Optional[Geog]) -> Optional[bytes]:
+    """Standards-compliant WKB egress (round-4 ADVICE): NEVER emits the
+    engine's 4-byte oriented frame, so any external consumer (PostGIS,
+    DuckDB spatial, GeoParquet readers) can parse every output byte
+    stream.  For complement (inverted) polygons the rings are written
+    verbatim — their winding carries the orientation, which a consumer
+    doing oriented import recovers and a planar consumer reads as the
+    ring footprint (plain WKB has no spherical-complement notion to
+    preserve).  For every other geography the bytes are identical to
+    to_wkb."""
+    if g is None:
+        return None
     return _to_wkb_body(g)
 
 

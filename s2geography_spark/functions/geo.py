@@ -25,13 +25,14 @@ from pyspark.sql.functions import pandas_udf
 
 from ..core import cellid as C
 from ..core import ops, sphere
-from ..core.geog import Geog, from_wkb, from_wkt, to_wkb, to_wkt
+from ..core.geog import (Geog, from_wkb, from_wkt, to_wkb, to_wkb_standard,
+                         to_wkt)
 
 __all__ = [
     "st_geogfromtext", "st_geogfromwkb", "st_astext", "st_intersects",
     "st_contains",
     "st_within", "st_disjoint", "st_equals", "st_dwithin", "st_distance",
-    "st_distance_lnglat",
+    "st_distance_lnglat", "st_asbinary",
     "st_maxdistance", "st_closestpoint", "st_shortestline", "st_longestline",
     "st_area", "st_length", "st_perimeter", "st_x", "st_y", "st_z", "st_m",
     "st_npoints",
@@ -354,6 +355,16 @@ def _unary_double(fn):
     def udf(a: pd.Series) -> pd.Series:
         return pd.Series([fn(g) for g in _decode_cache(a)], dtype=object)
     return udf
+
+
+@pandas_udf(T.BinaryType())
+def st_asbinary(a: pd.Series) -> pd.Series:
+    """Standards-compliant WKB egress: identical to the stored bytes for
+    ordinary geographies, but complement (inverted) polygons are written
+    WITHOUT the engine's oriented transport frame so external consumers
+    always get parseable WKB (see core.geog.to_wkb_standard)."""
+    return pd.Series([to_wkb_standard(g) for g in _decode_cache(a)],
+                     dtype=object)
 
 
 st_area = _unary_double(ops.s2_area)
@@ -862,7 +873,7 @@ def register_sql_functions(spark):
     kernel registry, s2geography_c.cc:181-221)."""
     pairs = {
         "st_geogfromtext": st_geogfromtext, "st_astext": st_astext,
-        "st_geogfromwkb": st_geogfromwkb,
+        "st_geogfromwkb": st_geogfromwkb, "st_asbinary": st_asbinary,
         "st_intersects": st_intersects, "st_contains": st_contains,
         "st_within": st_within, "st_disjoint": st_disjoint,
         "st_equals": st_equals, "st_dwithin": st_dwithin,

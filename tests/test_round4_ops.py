@@ -245,3 +245,40 @@ def test_cell_child_column_matches_numpy(spark):
     for k in range(4):
         want = C.child(arr, np.full(len(arr), k)).view(np.int64)
         assert [r[f"c{k}"] for r in got] == want.tolist(), k
+
+
+def test_asbinary_standard_egress():
+    """to_wkb of a complement polygon carries the oriented frame (engine
+    round-trip); to_wkb_standard / st_asbinary never do — output is plain
+    parseable WKB for external consumers; inverted flag is memoized."""
+    import numpy as np
+    from s2geography_spark.core.geog import (Geog, from_wkb, from_wkt,
+                                             has_inverted_poly, to_wkb,
+                                             to_wkb_standard)
+    # CW ring held as-is -> complement polygon (area > hemisphere)
+    cw = Geog(polys=[[np.array(
+        [[0., 0.], [0., 10.], [10., 10.], [10., 0.], [0., 0.]])]])
+    assert has_inverted_poly(cw)
+    framed = to_wkb(cw)
+    assert framed[0] == 9          # oriented frame kind byte
+    std = to_wkb_standard(cw)
+    assert std[0] == 1             # little-endian WKB byte-order marker
+    # plain WKB parses with any reader; oriented reimport recovers the
+    # complement winding
+    assert not has_inverted_poly(from_wkb(std))
+    assert has_inverted_poly(from_wkb(std, oriented=True))
+    # memoization: flag cached on the instance after first computation
+    assert cw._xyz_cache["inverted"] is True
+    # ordinary geographies: byte-identical to to_wkb
+    g = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert to_wkb_standard(g) == to_wkb(g)
+
+
+def test_asbinary_sql(spark):
+    from s2geography_spark.functions.geo import register_sql_functions
+    register_sql_functions(spark)
+    r = spark.sql(
+        "SELECT st_astext(st_geogfromwkb(st_asbinary(st_geogfromtext("
+        "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')), false, false)) AS t"
+    ).collect()[0]
+    assert r.t.startswith("POLYGON")
