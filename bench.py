@@ -29,11 +29,13 @@ def run_flagship(spark, n_pages: int):
     pages = pages_df(spark, n_pages)
     mentions = extract_mentions(pages, gazetteer_df(spark))
     # covering level is a cost-based choice: this flagship is a ONE-SHOT
-    # cold join over a generation-dominated corpus, where level 6's
-    # cheaper dim prep wins (measured 12.4 s vs ~17 s with level-8 prep at
-    # 200k pages); the repeated / pre-materialized benches and the driver
-    # queries use level 8, whose higher interior-cell fraction pays off
-    # when the join itself dominates (see run_join_bench_shuffle).
+    # cold join that pays the dim prep inside the timer, where level 6's
+    # cheaper prep wins.  Round-5 measurement (after the single-collect
+    # PreparedRegions rewrite, scripts/flagship_profile.py, 200k pages,
+    # 32 cores, interleaved medians): prep 0.9 s + join 1.8 s at level 6
+    # vs prep 2.2 s + join 1.7 s at level 8.  The repeated /
+    # pre-materialized benches and the driver queries use level 8, whose
+    # higher interior-cell fraction pays off when the join repeats.
     regions = regions_df(spark, 96, covering_level=6)
     t0 = time.time()
     joined = spatial_join(mentions, regions, predicate="contains", level=6)
@@ -118,7 +120,7 @@ def run_join_bench_bucketed(spark, table: str, level: int = 8):
     t0 = time.time()
     joined = spatial_join(mentions, regions, predicate="contains",
                           broadcast=False, level=level, key_col="ck",
-                          refine_mode="rows")
+                          refine_mode="subdivided")
     out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
     dt = time.time() - t0
     rows_out = int(sum(r.n for r in out))
@@ -140,8 +142,10 @@ def run_join_bench(spark, mentions_path: str):
     from s2geography_spark.sources.regions import regions_df
 
     mentions = spark.read.parquet(mentions_path)
-    key = id(spark)
+    # applicationId, not id(spark): a dead context's id can recycle
+    key = spark.sparkContext.applicationId
     if key not in _PREPARED:
+        _PREPARED.clear()
         _PREPARED[key] = prepare_regions(
             spark, regions_df(spark, 96, covering_level=8))
     leaf = "leaf" if "leaf" in mentions.columns else None

@@ -249,10 +249,16 @@ def decode_wav(buf: bytes) -> Tuple[np.ndarray, int]:
         struct.unpack_from("<H", buf, 22)[0], \
         struct.unpack_from("<I", buf, 24)[0], \
         struct.unpack_from("<H", buf, 34)[0]
-    if fmt != 1 or bits != 16:
-        raise NotImplementedError("only 16-bit PCM WAV decodes natively")
+    if fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            "only 8/16-bit PCM WAV decodes natively")
     n = struct.unpack_from("<I", buf, 40)[0]
-    samples = np.frombuffer(buf, dtype="<i2", count=n // 2, offset=44)
+    if bits == 16:
+        samples = np.frombuffer(buf, dtype="<i2", count=n // 2, offset=44)
+    else:
+        # 8-bit PCM is UNSIGNED; widen to the int16 pipeline contract
+        u8 = np.frombuffer(buf, dtype=np.uint8, count=n, offset=44)
+        samples = ((u8.astype(np.int16) - 128) << 8)
     if channels > 1:
         samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
     return samples, rate

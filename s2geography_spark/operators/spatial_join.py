@@ -561,13 +561,24 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                                     F.col(lat), F.col("_full")))
         return refined.drop("_leaf", "_ck", "_full")
 
-    # non-broadcastable dim.  Three plans (all brute-force-verified):
+    # non-broadcastable dim.  Four plans (all brute-force-verified):
     #
-    # rows (the 'auto' default — fastest measured: 7.1M vs 4.3M vs 1.8M
-    #   fact-rows/s on the 80M-mention bench): ONE fact-side shuffle on
-    #   the (salted) cell key with WKB attached to candidate rows;
-    #   per-distinct-WKB batched refine, interior-cell candidates passing
-    #   with a NULL WKB argument (no Arrow payload).
+    # subdivided (the 'auto' default, round 5): ONE fact-side shuffle on
+    #   the (salted) cell key; candidates carry the matched cell's packed
+    #   SUBDIVIDED state blob (ref-containment bit + only the edges
+    #   intersecting that cell, ~150 B) instead of ~1 KB region WKB, and
+    #   the refine is vectorized crossing parity (parity_refine_udf) —
+    #   no WKB decode at all.  Interior-cell candidates ship a null blob.
+    # subdivided_broadcast: same state, but the state TABLE is broadcast
+    #   — fact side MAP-ONLY, zero fact exchange.  The right plan when
+    #   the dim's WKB can't broadcast but its per-cell state can (state
+    #   excludes polygon interiors, so it's usually far smaller);
+    #   measured 2.7x faster than the shuffling form on the 80M-mention
+    #   bench.  Raises when the state overflows the broadcast guard.
+    # rows: the WKB-shipping variant of the shuffle plan (per-distinct-
+    #   WKB batched winding refine; interior candidates pass with a NULL
+    #   WKB argument).  Kept as the reference implementation and for
+    #   geographies whose per-cell edge subsets approach the full WKB.
     #   Negative result (round 4, measured): replacing the Python refine
     #   with a crossing-parity F.aggregate over an edge-tensor column was
     #   9x SLOWER (71 s vs 7.6 s on the 20M-mention probe at 2 cores) —

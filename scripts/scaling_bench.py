@@ -7,8 +7,9 @@ parallelism levels on the same pre-materialized input, reporting throughput
 at each and the N->4N scaling efficiency.  Each level runs in its own
 subprocess (a JVM's local master is fixed at startup).
 
-Round-4 protocol (verdict item 10): the three join modes — broadcast,
-shuffle rows-refine, bucketed — run INTERLEAVED in one
+Protocol (round 4, extended round 5): the four join modes — broadcast,
+shuffle subdivided-refine, subdivided-state broadcast, bucketed — run
+INTERLEAVED in one
 session per level (mode A, B, C, A, B, ...), so host drift hits every
 mode equally, and the reported number is the MEDIAN across cycles with
 min/max dispersion, not a best-of that can cherry-pick a quiet moment.
@@ -156,9 +157,11 @@ interior-cell shortcut -> per-region rollup.
 
 ## Shuffle path, rows refine (broadcast=False, salt=4)
 
-Exploded region coverings (WKB travels with rows) hash-shuffle-join the
-salted cell key against the fact side; per-distinct-WKB vectorized Python
-refine over the Arrow hop.
+Exploded region coverings hash-shuffle-join the salted cell key against
+the fact side; candidates carry the matched cell's packed SUBDIVIDED
+state (~150 B: ref-containment bit + only the edges intersecting that
+cell — round 5) and refine by vectorized crossing parity; interior-cell
+candidates ship a null blob.
 
 | parallelism | wall sec (min-max) | join rows/sec |
 |---|---|---|

@@ -476,3 +476,15 @@ def test_jpeg_rows_flow_through_media_pipeline(spark):
     for i in jpeg_ids:
         assert M.decode_image(bytes(res[i])).shape == (8, 8, 3)
     media.unpersist()
+
+
+def test_wav_8bit_pcm_decode():
+    import numpy as np
+    import struct as _s
+    from s2geography_spark.operators.multimodal import decode_wav
+    data = (np.arange(256) % 256).astype(np.uint8).tobytes()
+    hdr = _s.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+                  b"fmt ", 16, 1, 1, 8000, 8000, 1, 8, b"data", len(data))
+    s, rate = decode_wav(hdr + data)
+    assert rate == 8000 and len(s) == 256
+    assert s[128] == 0 and s[0] == -32768 and s.dtype == np.int16

@@ -98,3 +98,36 @@ def test_bucketed_fact_join_no_fact_exchange(spark):
         assert got == exp and got
     finally:
         spark.sql("DROP TABLE IF EXISTS _bkt_plan_test")
+
+
+def test_bucketed_fact_join_subdivided_no_fact_exchange(spark):
+    """The round-5 subdivided refine must preserve the bucketed fact's
+    exchange-free plan and its rows, so the bucketed bench can run on it."""
+    from s2geography_spark.functions.cells import cell_join_key, cell_parent
+    from s2geography_spark.operators.spatial_join import (leaf_cell_udf,
+                                                          spatial_join)
+    from s2geography_spark.sources.regions import regions_df
+    pts = spark.createDataFrame(
+        [(x + 0.5, y + 0.5) for x in range(-150, 150, 4)
+         for y in range(-60, 60, 4)], "lng double, lat double")
+    pts = (pts.withColumn("leaf", leaf_cell_udf(F.col("lng"), F.col("lat")))
+           .withColumn("ck", cell_join_key(cell_parent(F.col("leaf"), 6))))
+    spark.sql("DROP TABLE IF EXISTS _bkt_plan_test_sub")
+    (pts.write.mode("overwrite").bucketBy(8, "ck").sortBy("ck")
+     .format("parquet").saveAsTable("_bkt_plan_test_sub"))
+    try:
+        j = spatial_join(spark.table("_bkt_plan_test_sub"),
+                         regions_df(spark, 24, covering_level=6),
+                         predicate="contains", broadcast=False, level=6,
+                         key_col="ck", refine_mode="subdivided")
+        plan = _plan(j)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        ref = spatial_join(spark.table("_bkt_plan_test_sub"),
+                           regions_df(spark, 24, covering_level=6),
+                           predicate="contains", broadcast=False, level=6,
+                           leaf_col="leaf", refine_mode="rows")
+        got = {(r.lng, r.lat, r.region_id) for r in j.collect()}
+        exp = {(r.lng, r.lat, r.region_id) for r in ref.collect()}
+        assert got == exp and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _bkt_plan_test_sub")

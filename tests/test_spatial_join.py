@@ -341,3 +341,66 @@ def test_subdivided_broadcast_mode(spark, mentions):
                       broadcast=False, refine_mode="subdivided")
          .select(*key).collect()}
     assert a == b and len(a) > 0
+
+
+def test_subdivided_fuzz_random_holed_polygons(spark):
+    """Randomized robustness: 12 random convex-ish polygons with random
+    rectangular holes, 400 random points each — the subdivided parity
+    refine, the WKB rows refine, and the direct contains kernel must
+    agree on every (point, region) pair."""
+    from s2geography_spark.core import ops as _ops
+    from s2geography_spark.core.geog import Geog, from_wkb, to_wkb
+    from s2geography_spark.functions.geo import s2_coveringcellids
+
+    rng = np.random.default_rng(77)
+    rows = []
+    geogs = {}
+    for rid in range(12):
+        cx = float(rng.uniform(-150, 150))
+        cy = float(rng.uniform(-60, 60))
+        rads = rng.uniform(2.0, 6.0, 9)
+        angs = np.sort(rng.uniform(0, 2 * np.pi, 9))
+        shell = np.stack([cx + rads * np.cos(angs),
+                          cy + rads * np.sin(angs)], axis=1)
+        shell = np.vstack([shell, shell[:1]])
+        hw = float(rng.uniform(0.2, 0.8))
+        hole = np.array([[cx - hw, cy - hw], [cx - hw, cy + hw],
+                         [cx + hw, cy + hw], [cx + hw, cy - hw],
+                         [cx - hw, cy - hw]])
+        g = Geog(polys=[[shell, hole[::-1]]])
+        geogs[rid] = from_wkb(to_wkb(g))
+        rows.append((rid, bytearray(to_wkb(g))))
+    regions = spark.createDataFrame(rows, "region_id long, geog binary") \
+        .withColumn("covering", s2_coveringcellids("geog"))
+
+    pts = [(i, float(rng.uniform(-160, 160)), float(rng.uniform(-70, 70)))
+           for i in range(200)]
+    # plus points clustered around each region center (boundary pressure)
+    i = 200
+    for rid in range(12):
+        g = geogs[rid]
+        cx, cy = float(g.polys[0][0][:, 0].mean()), float(g.polys[0][0][:, 1].mean())
+        for _ in range(20):
+            pts.append((i, cx + float(rng.uniform(-7, 7)),
+                        cy + float(rng.uniform(-7, 7))))
+            i += 1
+    pdf = spark.createDataFrame(pts, "pid long, lng double, lat double")
+
+    sub = {(r.pid, r.region_id) for r in
+           spatial_join(pdf, regions, predicate="contains", broadcast=False,
+                        refine_mode="subdivided").select("pid", "region_id")
+           .collect()}
+    wkb_mode = {(r.pid, r.region_id) for r in
+                spatial_join(pdf, regions, predicate="contains",
+                             broadcast=False, refine_mode="rows")
+                .select("pid", "region_id").collect()}
+    assert sub == wkb_mode
+    # spot-verify against the direct kernel
+    direct = set()
+    for pid, lng, lat in pts:
+        p = from_wkb(bytes(
+            b"\x01\x01\x00\x00\x00") + np.array([lng, lat]).tobytes())
+        for rid, g in geogs.items():
+            if _ops.s2_contains(g, p):
+                direct.add((pid, rid))
+    assert sub == direct
