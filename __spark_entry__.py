@@ -511,6 +511,34 @@ def q_geo_line_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("locate_frac"))
 
 
+def q_events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING oracle (round-4 verdict: the
+    applyInPandasWithState first-seen dedup was pytest-only).  The events
+    table is staged as 8 parquet files and streamed with
+    maxFilesPerTrigger=1 — 8 real microbatches — through
+    streaming_first_seen, whose GroupState must emit each user key
+    EXACTLY ONCE across batches; the drained memory-sink table is
+    returned.  The DuckDB oracle is SELECT DISTINCT user_id: a key
+    re-emitted in a later microbatch (state loss) or never emitted
+    (state false positive) breaks the row count/hash."""
+    from s2geography_spark.streaming.events import (
+        run_stream_to_memory, stream_events_from_parquet)
+    from s2geography_spark.streaming.geo import streaming_first_seen
+    import uuid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = f"/tmp/s2stream_firstseen_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        ev.repartition(8).write.mode("overwrite").parquet(staged)
+    stream = stream_events_from_parquet(spark, staged, ev.schema) \
+        .withColumn("k", F.col("user_id").cast("string"))
+    out = streaming_first_seen(stream, "k")
+    name = f"firstseen_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(out, name)
+    return spark.table(name).select(
+        F.col("k").cast("long").alias("user_id"))
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode ORACLE (round-4 verdict item 4): plant
     deterministic images per doc_id — PGM gray gradient, PNG RGB gradient,
@@ -1066,6 +1094,23 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_observed"))
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score ORACLE (round-4 verdict: quality was pytest-only).
+    The composite [0,1] heuristic — length band + punct/digit noise +
+    mean-word-length sanity — plus the English stopword ratio, all pure
+    Catalyst Columns, recomputed in DuckDB from the same closed formulas
+    (RE2 and Java agree on the character classes used)."""
+    from s2geography_spark.operators.textstats import (mean_word_length,
+                                                       quality_score,
+                                                       stopword_ratio)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality_r"),
+        F.round(mean_word_length("text"), 6).alias("mwl_r"),
+        F.round(stopword_ratio("text", "en"), 6).alias("sw_en_r"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2geography_spark.operators.textstats import lang_id
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1324,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_zm_interp": q_geo_zm_interp,
         "checkpoint_resume": q_checkpoint_resume,
         "media_stats": q_media_stats,
+        "events_first_seen": q_events_first_seen,
+        "text_quality": q_text_quality,
         "geo_perimeter": q_geo_perimeter,
         "geo_predicates": q_geo_predicates,
         "geo_difference": q_geo_difference,
@@ -1551,6 +1598,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_nationkey, count(*) AS n_cust,
                round(sum(lng), 6) AS sum_lng, round(sum(lat), 6) AS sum_lat
         FROM pts GROUP BY c_nationkey
+    """
+
+    sqls["text_quality"] = r"""
+        WITH t AS (
+          SELECT doc_id, text, length(text) AS n,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                 END AS ntok_raw,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS ntok_mwl,
+                 (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g'))) AS punct,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digits,
+                 length(regexp_replace(trim(text), '\s+', '', 'g')) AS tokchars,
+                 list_transform(regexp_split_to_array(trim(text), '\s+'),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z0-9_]', '', 'g'))) AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CASE WHEN n >= 20 AND n <= 20000 THEN 1.0
+                      WHEN n < 20 THEN n / 20.0
+                      ELSE 20000.0 / n END AS len_ok,
+                 greatest(0.0, 1.0 - (punct / greatest(n, 1) + digits / greatest(n, 1)) * 2) AS noise_ok,
+                 tokchars / greatest(ntok_mwl, 1) AS mwl,
+                 (len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with')))
+                  ) / greatest(ntok_mwl, 1) AS sw_en
+          FROM t)
+        SELECT doc_id,
+               round((len_ok + noise_ok
+                      + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0
+                             ELSE 0.5 END) / 3.0, 6) AS quality_r,
+               round(mwl, 6) AS mwl_r,
+               round(sw_en, 6) AS sw_en_r
+        FROM m
+    """
+
+    sqls["events_first_seen"] = """
+        SELECT DISTINCT user_id FROM events
     """
 
     sqls["media_stats"] = """

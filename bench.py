@@ -236,7 +236,7 @@ def main():
         "geo_closest_point", "geo_line_interp", "geo_perimeter",
         "text_stats", "lang_id", "dedup_exact", "minhash_lsh", "simhash",
         "ann_topk", "embedding_near_dup", "lineitem_agg", "events_window",
-        "events_sessions",
+        "events_sessions", "text_quality", "geo_zm_interp", "media_stats",
     ]
     qs = entry_mod.queries()
     # one untimed warmup execution per query: on this JVM the FIRST run of

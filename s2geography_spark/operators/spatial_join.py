@@ -912,12 +912,16 @@ def _subdivide_region(cells_u64, ra, rb):
     full = corners_in.all(axis=1) & ~subset.any(axis=1)
     # reference points: cell center, falling back to the 4 quarter points
     # (child centers) when the center sits too close to a subset edge for
-    # a robust parity origin
+    # a robust parity origin.  Common case fully batched: ONE winding pass
+    # over every center + one masked distance matrix; the rare fallback
+    # (center within eps of a boundary edge) loops only its own cells.
     centers = np.stack(C.to_xyz(cells_u64), axis=-1)          # (n, 3)
-    cand_refs = [centers] + [
-        np.stack(C.to_xyz(C.child(cells_u64, k)), axis=-1) for k in range(4)]
-    out = []
+    dist_all = sphere.point_arc_distance(
+        centers[:, None, :], ra[None, :, :], rb[None, :, :])   # (n, E)
+    dmin = np.where(subset, dist_all, np.inf).min(axis=1)
+    rin_all = sphere.winding_number(centers, ra, rb) > 0       # (n,)
     edges6 = np.concatenate([ra, rb], axis=1)       # (E, 6)
+    out = []
     for i in range(n):
         if full[i]:
             out.append((True, True, None, None))
@@ -932,16 +936,20 @@ def _subdivide_region(cells_u64, ra, rb):
                                         model="semi_open")[0]),
                         centers[i], []))
             continue
-        ea, eb = e[:, :3], e[:, 3:]
-        ref = centers[i]
-        for candr in cand_refs:
-            d = sphere.point_arc_distance(candr[i][None, :],
-                                          ea, eb).min()
-            if d > _SUBDIV_TOUCH_EPS:
-                ref = candr[i]
-                break
-        rin = bool(sphere.winding_number(ref[None, :], ra, rb)[0] > 0)
-        out.append((False, rin, ref, e.reshape(-1).tolist()))
+        ref, rin = centers[i], bool(rin_all[i])
+        if dmin[i] <= _SUBDIV_TOUCH_EPS:
+            # fallback refs: the 4 child centers of this cell
+            ea, eb = e[:, :3], e[:, 3:]
+            for k in range(4):
+                cr = np.stack(C.to_xyz(C.child(cells_u64[i:i + 1], k)),
+                              axis=-1)[0]
+                if sphere.point_arc_distance(cr[None, :], ea, eb).min() \
+                        > _SUBDIV_TOUCH_EPS:
+                    ref = cr
+                    rin = bool(sphere.winding_number(
+                        ref[None, :], ra, rb)[0] > 0)
+                    break
+        out.append((False, rin, ref, e.reshape(-1)))
     return out
 
 
