@@ -511,6 +511,37 @@ def q_geo_line_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("locate_frac"))
 
 
+def q_hex_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex tile-family ORACLE (round-4 verdict: the hex family was
+    pytest-only).  Axial hex assignment at two resolutions over the
+    customer points, recomputed in SQL: Web-Mercator projection -> axial
+    (q, r) -> cube rounding (the larger-deviation correction as CASE
+    logic) -> (res, q, r) bit packing.  Everything is closed-form trig +
+    integer bit math DuckDB evaluates exactly."""
+    from s2geography_spark.operators.tiles import hex_tile_udf
+    pts = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 800)
+    return pts.select(
+        "c_custkey",
+        hex_tile_udf(5)(F.col("lng"), F.col("lat")).alias("hex_r5"),
+        hex_tile_udf(7)(F.col("lng"), F.col("lat")).alias("hex_r7"))
+
+
+def q_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-family ORACLE (round-4 verdict: orthographic was
+    pytest-only): orthographic tangent-plane x/y about (10E, 20N) and
+    pseudo-Mercator meters for each customer point, rounded to 6 dp —
+    both are closed-form trig (reference projections.h:12-22)."""
+    from s2geography_spark.operators.tiles import (orthographic_xy_columns,
+                                                   pseudo_mercator_xy_columns)
+    pts = _customer_points(spark, sf_dir).where(F.col("c_custkey") <= 800)
+    ox, oy = orthographic_xy_columns("lng", "lat", 10.0, 20.0)
+    mx, my = pseudo_mercator_xy_columns("lng", "lat")
+    return pts.select(
+        "c_custkey",
+        F.round(ox, 6).alias("ortho_x"), F.round(oy, 6).alias("ortho_y"),
+        F.round(mx, 3).alias("merc_x"), F.round(my, 3).alias("merc_y"))
+
+
 def q_events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATEFUL STREAMING oracle (round-4 verdict: the
     applyInPandasWithState first-seen dedup was pytest-only).  The events
@@ -1371,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": q_media_stats,
         "events_first_seen": q_events_first_seen,
         "text_quality": q_text_quality,
+        "hex_tiles": q_hex_tiles,
+        "projections": q_projections,
         "geo_perimeter": q_geo_perimeter,
         "geo_predicates": q_geo_predicates,
         "geo_difference": q_geo_difference,
@@ -1598,6 +1631,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_nationkey, count(*) AS n_cust,
                round(sum(lng), 6) AS sum_lng, round(sum(lat), 6) AS sum_lat
         FROM pts GROUP BY c_nationkey
+    """
+
+    hex_case = """
+        SELECT c_custkey,
+               {res} AS res,
+               radians(lng) * 6378137.0 AS x,
+               6378137.0 * ln(tan(pi()/4 + radians(
+                   CASE WHEN lat > 85.051128779806 THEN 85.051128779806
+                        WHEN lat < -85.051128779806 THEN -85.051128779806
+                        ELSE lat END) / 2)) AS y,
+               20037508.0 / (4 * (1 << {res})) AS size
+        FROM pts
+    """
+    hex_expr = """
+        SELECT c_custkey,
+               (CAST(res AS BIGINT) << 52)
+               | ((q & 67108863) << 26)
+               | (r & 67108863) AS tile
+        FROM (
+          SELECT c_custkey, res, q,
+                 CAST(CASE WHEN (NOT fx) AND fz THEN -q - ry ELSE rz END
+                      AS BIGINT) AS r
+          FROM (
+            SELECT c_custkey, res, ry, rz, fx, fz,
+                   CAST(CASE WHEN fx THEN -ry - rz ELSE rx END
+                        AS BIGINT) AS q
+            FROM (
+              SELECT c_custkey, res, rx, ry, rz,
+                     (abs(rx - xf) > abs(ry - yf))
+                       AND (abs(rx - xf) > abs(rz - zf)) AS fx,
+                     (abs(rz - zf) > abs(ry - yf)) AS fz
+              FROM (
+                SELECT c_custkey, res, xf, zf, -xf - zf AS yf,
+                       round(xf) AS rx, round(-xf - zf) AS ry,
+                       round(zf) AS rz
+                FROM (
+                  SELECT c_custkey, res,
+                         (sqrt(3.0)/3.0 * x - y/3.0) / size AS xf,
+                         (2.0/3.0 * y) / size AS zf
+                  FROM ({base})
+                )
+              )
+            )
+          )
+        )
+    """
+
+    sqls["hex_tiles"] = f"""
+        WITH pts AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 800),
+        h5 AS ({hex_expr.format(base=hex_case.format(res=5))}),
+        h7 AS ({hex_expr.format(base=hex_case.format(res=7))})
+        SELECT h5.c_custkey,
+               CAST(h5.tile AS BIGINT) AS hex_r5,
+               CAST(h7.tile AS BIGINT) AS hex_r7
+        FROM h5 JOIN h7 ON h5.c_custkey = h7.c_custkey
+    """
+
+    sqls["projections"] = f"""
+        WITH pts AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 800)
+        SELECT c_custkey,
+               round(cos(radians(lat)) * sin(radians(lng) - radians(10.0)), 6) AS ortho_x,
+               round(cos(radians(20.0)) * sin(radians(lat))
+                     - sin(radians(20.0)) * cos(radians(lat))
+                       * cos(radians(lng) - radians(10.0)), 6) AS ortho_y,
+               round(radians(lng) * 6378137.0, 3) AS merc_x,
+               round(ln(tan(pi()/4 + radians(
+                   CASE WHEN lat > 85.051128779806 THEN 85.051128779806
+                        WHEN lat < -85.051128779806 THEN -85.051128779806
+                        ELSE lat END) / 2)) * 6378137.0, 3) AS merc_y
+        FROM pts
     """
 
     sqls["text_quality"] = r"""

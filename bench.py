@@ -193,6 +193,44 @@ def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4,
     return int(rows_in), rows_out, dt
 
 
+def materialize_mentions_cellcenter(spark, n_pages: int, path: str):
+    """CELL_CENTER compact corpus (the reference's >= level-23 tagged
+    point encoding): the ONLY fact column is the 8 B leaf cell id —
+    3x fewer bytes through every downstream exchange than lng/lat+key."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pyspark.sql import functions as F
+        from s2geography_spark.operators.spatial_join import leaf_cell_udf
+        from s2geography_spark.sources.pages import (extract_mentions,
+                                                     gazetteer_df, pages_df)
+        mentions = extract_mentions(pages_df(spark, n_pages),
+                                    gazetteer_df(spark))
+        mentions.select(leaf_cell_udf(F.col("lng"), F.col("lat"))
+                        .alias("leaf")).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_join_bench_cellcenter(spark, mentions_path: str, salt: int = 4):
+    """Shuffle join over the CELL_CENTER corpus: coords='leaf' — the fact
+    exchange moves one bigint per row; the refine reconstructs the exact
+    cell center (quantization semantics of the compact tagged ingest)."""
+    from pyspark.sql import functions as F
+    from s2geography_spark.operators.spatial_join import spatial_join
+    from s2geography_spark.sources.regions import regions_df
+
+    mentions = spark.read.parquet(mentions_path)
+    regions = regions_df(spark, 96, covering_level=8)
+    t0 = time.time()
+    joined = spatial_join(mentions, regions, predicate="contains",
+                          broadcast=False, salt=salt, level=8,
+                          leaf_col="leaf", coords="leaf",
+                          refine_mode="subdivided")
+    out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
+    dt = time.time() - t0
+    rows_out = int(sum(r.n for r in out))
+    rows_in = mentions.count()
+    return int(rows_in), rows_out, dt
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -451,7 +451,8 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                  level: Optional[int] = None,
                  leaf_col: Optional[str] = None,
                  key_col: Optional[str] = None,
-                 refine_mode: str = "auto") -> DataFrame:
+                 refine_mode: str = "auto",
+                 coords: str = "lnglat") -> DataFrame:
     """Join each point row to every region whose polygon satisfies
     `predicate` (contains/intersects) — the engine's flagship operator.
 
@@ -623,7 +624,18 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             .withColumn("_ymin", F.col("_bb.ymin")) \
             .withColumn("_xmax", F.col("_bb.xmax")) \
             .withColumn("_ymax", F.col("_bb.ymax")).drop("_bb")
-        pts = pts.withColumnRenamed("_ck", "_ckp").drop("_leaf")
+        # coords="leaf": CELL-CENTER corpus (reference compact tagged
+        # encoding, encoding.py CELL_CENTER) — the fact side carries ONLY
+        # the 8 B leaf id; the refine reconstructs the exact cell center.
+        # 3x fewer bytes through the fact exchange; requires the corpus to
+        # have been quantized to cell centers at ingest (lng/lat columns
+        # are ignored and may be absent).
+        if coords not in ("lnglat", "leaf"):
+            raise ValueError(f"coords must be 'lnglat' or 'leaf': {coords}")
+        leaf_mode = coords == "leaf"
+        pts = pts.withColumnRenamed("_ck", "_ckp")
+        if not leaf_mode:
+            pts = pts.drop("_leaf")
         state_bcast = refine_mode == "subdivided_broadcast"
         if state_bcast:
             # the 100 TB answer for a dim whose WKB can NOT broadcast: the
@@ -645,21 +657,26 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                     f"cells, {stats.b} bytes); use refine_mode='subdivided'")
         if salt:
             nsalt = int(salt)
-            pts = pts.withColumn("_salt", F.pmod(F.hash(F.col(lng), F.col(lat)),
-                                                 F.lit(nsalt)))
+            salt_src = F.hash(F.col("_leaf")) if leaf_mode \
+                else F.hash(F.col(lng), F.col(lat))
+            pts = pts.withColumn("_salt", F.pmod(salt_src, F.lit(nsalt)))
             exploded = exploded.withColumn(
                 "_salt_r", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
-        eps = 1e-9
-        lat_ok = (pts[lat] >= exploded["_ymin"] - eps) & \
-            (pts[lat] <= exploded["_ymax"] + eps)
-        lng_in = F.when(
-            exploded["_xmin"] <= exploded["_xmax"],
-            (pts[lng] >= exploded["_xmin"] - eps)
-            & (pts[lng] <= exploded["_xmax"] + eps)
-        ).otherwise((pts[lng] >= exploded["_xmin"] - eps)
-                    | (pts[lng] <= exploded["_xmax"] + eps))
-        bbox_ok = exploded["_xmin"].isNull() | (lat_ok & lng_in)
-        cond = (pts["_ckp"] == exploded["_ck"]) & bbox_ok
+        if leaf_mode:
+            # no lng/lat JVM-side: the level-L cell match is the prefilter
+            cond = pts["_ckp"] == exploded["_ck"]
+        else:
+            eps = 1e-9
+            lat_ok = (pts[lat] >= exploded["_ymin"] - eps) & \
+                (pts[lat] <= exploded["_ymax"] + eps)
+            lng_in = F.when(
+                exploded["_xmin"] <= exploded["_xmax"],
+                (pts[lng] >= exploded["_xmin"] - eps)
+                & (pts[lng] <= exploded["_xmax"] + eps)
+            ).otherwise((pts[lng] >= exploded["_xmin"] - eps)
+                        | (pts[lng] <= exploded["_xmax"] + eps))
+            bbox_ok = exploded["_xmin"].isNull() | (lat_ok & lng_in)
+            cond = (pts["_ckp"] == exploded["_ck"]) & bbox_ok
         if salt:
             cond = cond & (pts["_salt"] == exploded["_salt_r"])
         cand = pts.join(
@@ -667,10 +684,13 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             else exploded.hint("SHUFFLE_HASH"), cond, "inner")
         drop_cols = ["_ckp", "_ck", "_full", "_state",
                      "_xmin", "_ymin", "_xmax", "_ymax"] \
-            + (["_salt", "_salt_r"] if salt else [])
+            + (["_salt", "_salt_r"] if salt else []) \
+            + (["_leaf"] if leaf_mode else [])
         # interior-cell candidates skip the parity refine entirely (their
         # _state is already null, so Arrow ships a null bitmap)
-        refine = parity_refine_udf(F.col("_state"), F.col(lng), F.col(lat))
+        refine = parity_refine_leaf_udf(F.col("_state"), F.col("_leaf")) \
+            if leaf_mode else \
+            parity_refine_udf(F.col("_state"), F.col(lng), F.col(lat))
         refined = cand.where(
             F.when(F.col("_full"), F.lit(True))
             .otherwise(F.coalesce(refine, F.lit(False))))
@@ -988,9 +1008,8 @@ def subdivided_state_udf(wkb: pd.Series, covering: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf(T.BooleanType())
-def parity_refine_udf(state: pd.Series, lng: pd.Series,
-                      lat: pd.Series) -> pd.Series:
+def _parity_refine_impl(state: pd.Series, lng: pd.Series,
+                        lat: pd.Series) -> pd.Series:
     """Candidate refine against subdivided-cell state blobs: contained iff
     the point lies on a subset edge (boundary => contained, matching the
     semi_open/closed join models) or ref_in XOR crossing-parity of the
@@ -1051,6 +1070,43 @@ def parity_refine_udf(state: pd.Series, lng: pd.Series,
     out = pd.Series(result.astype(object))
     out[bad] = None
     return out
+
+
+@pandas_udf(T.BooleanType())
+def parity_refine_udf(state: pd.Series, lng: pd.Series,
+                      lat: pd.Series) -> pd.Series:
+    """See _parity_refine_impl."""
+    return _parity_refine_impl(state, lng, lat)
+
+
+@pandas_udf(T.BooleanType())
+def parity_refine_leaf_udf(state: pd.Series, leaf: pd.Series) -> pd.Series:
+    """parity_refine_udf for a CELL-CENTER corpus: the fact side carries
+    ONLY the leaf cell id (the reference's compact tagged encoding
+    quantizes points to cell centers at level >= 23, encoding.py
+    CELL_CENTER), so the refine reconstructs the point as the exact cell
+    center — 8 B/row through the exchange instead of 24 B of
+    lng/lat + key.  Same parity math, same blob factorization."""
+    # leaf ids must NEVER transit float64: a 63-bit id rounds to the
+    # nearest multiple of ~2^10 under a 53-bit mantissa (~1 m of position
+    # error — enough to flip near-boundary containment).  Arrow delivers
+    # int64 for null-free batches; a batch containing nulls arrives as
+    # float64, which we reject rather than silently mis-locate.
+    if np.issubdtype(leaf.dtype, np.floating):
+        raise ValueError(
+            "leaf ids arrived as float (nullable bigint batch) — filter "
+            "null leaf rows before a coords='leaf' join")
+    bad_leaf = leaf.isna().to_numpy() if leaf.dtype == object \
+        else np.zeros(len(leaf), dtype=bool)
+    ids = leaf.to_numpy(dtype=np.int64).view(np.uint64) \
+        if not bad_leaf.any() else np.array(
+            [0 if b else int(v) for v, b in zip(leaf, bad_leaf)],
+            dtype=np.int64).view(np.uint64)
+    x, y, z = C.to_xyz(ids)
+    lnglat = C.xyz_to_lnglat(x, y, z)
+    lng = pd.Series(np.where(bad_leaf, np.nan, lnglat[0]))
+    lat = pd.Series(np.where(bad_leaf, np.nan, lnglat[1]))
+    return _parity_refine_impl(state, lng, lat)
 
 
 def fixed_level_covering_udf(level: int):

@@ -404,3 +404,42 @@ def test_subdivided_fuzz_random_holed_polygons(spark):
             if _ops.s2_contains(g, p):
                 direct.add((pid, rid))
     assert sub == direct
+
+
+def test_leaf_only_cell_center_join(spark, mentions):
+    """coords='leaf' (CELL_CENTER corpus): the fact side carries only the
+    8-byte leaf id; results must equal a lnglat join over the
+    reconstructed cell centers (exact quantization semantics)."""
+    from s2geography_spark.core import cellid as C
+    from s2geography_spark.operators.spatial_join import leaf_cell_udf
+
+    regions = regions_df(spark, 24)
+    pts = mentions.select("url", "mention_idx", "lng", "lat") \
+        .withColumn("leaf", leaf_cell_udf(F.col("lng"), F.col("lat")))
+    rows = pts.collect()
+    # reconstruct the quantized coordinates the leaf-only join sees
+    ids = np.array([r.leaf for r in rows], dtype=np.int64).view(np.uint64)
+    qlng, qlat = C.to_lnglat(ids)
+    quant = spark.createDataFrame(
+        [(r.url, r.mention_idx, float(ln), float(la), int(r.leaf))
+         for r, ln, la in zip(rows, qlng, qlat)],
+        "url string, mention_idx int, lng double, lat double, leaf long")
+
+    key = ["url", "mention_idx", "region_id"]
+    got = {tuple(r) for r in
+           spatial_join(pts.drop("lng", "lat"), regions,
+                        predicate="contains", broadcast=False,
+                        refine_mode="subdivided", leaf_col="leaf",
+                        coords="leaf").select(*key).collect()}
+    exp = {tuple(r) for r in
+           spatial_join(quant, regions, predicate="contains",
+                        broadcast=False, refine_mode="subdivided",
+                        leaf_col="leaf").select(*key).collect()}
+    assert got == exp and len(got) > 0
+    # salted variant agrees too
+    got_s = {tuple(r) for r in
+             spatial_join(pts.drop("lng", "lat"), regions,
+                          predicate="contains", broadcast=False, salt=3,
+                          refine_mode="subdivided", leaf_col="leaf",
+                          coords="leaf").select(*key).collect()}
+    assert got_s == exp
