@@ -580,9 +580,11 @@ def q_events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # staged fresh on EVERY invocation (10k rows, trivial): a _SUCCESS
+    # guard keyed on the dir basename silently replayed a stale copy when
+    # the source was regenerated or two sf_dirs shared a basename
     staged = f"/tmp/s2stream_firstseen_{os.path.basename(sf_dir.rstrip('/'))}"
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        ev.repartition(8).write.mode("overwrite").parquet(staged)
+    ev.repartition(8).write.mode("overwrite").parquet(staged)
     stream = stream_events_from_parquet(spark, staged, ev.schema) \
         .withColumn("k", F.col("user_id").cast("string"))
     out = streaming_first_seen(stream, "k")
@@ -1203,13 +1205,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LIVE_CACHE: dict = {}
 
 
-def _scoped_persist(key: str, build, sf_dir: str) -> DataFrame:
+def _scoped_persist(spark: SparkSession, key: str, build,
+                    sf_dir: str) -> DataFrame:
     # scope includes the applicationId: a frame persisted under a stopped
     # SparkContext must not be returned to a new session whose sf_dir
-    # happens to match (round-4 ADVICE — stale cached blocks fail at use)
+    # happens to match (round-4 ADVICE — stale cached blocks fail at use).
+    # The app id comes from the passed session, NOT from build(): invoking
+    # the build closure on every cache hit re-ran full plan construction
+    # just to read a property the caller already holds.
     entry = _LIVE_CACHE.get(key)
-    df0 = build()
-    app_id = df0.sparkSession.sparkContext.applicationId
+    app_id = spark.sparkContext.applicationId
     if entry is not None and entry[0] == (sf_dir, app_id):
         return entry[1]
     if entry is not None:
@@ -1217,7 +1222,7 @@ def _scoped_persist(key: str, build, sf_dir: str) -> DataFrame:
             entry[1].unpersist()
         except Exception:
             pass
-    df = df0.persist()
+    df = build().persist()
     _LIVE_CACHE[key] = ((sf_dir, app_id), df)
     return df
 
@@ -1243,7 +1248,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the round-3 leak).  A groupBy + collect_list + double-explode
     # alternative was measured slower (extra shuffle + per-bucket array
     # copies) and rejected.
-    sbd = _scoped_persist("minhash_sbd", lambda: (
+    sbd = _scoped_persist(spark, "minhash_sbd", lambda: (
         corpus.select("doc_id",
                       minhash_sig_bands_digest_udf()(F.col("text"))
                       .alias("_s"))
@@ -1289,7 +1294,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs, so this IS the candidate join; digest equality is the exact
     # verify.  The hamming>0 banded path (block-combination keys) is
     # oracled by q_simhash_banded and the pytest worst-case recall tests.
-    sn = _scoped_persist("simhash_sn", lambda: (
+    sn = _scoped_persist(spark, "simhash_sn", lambda: (
         corpus.select(
             "doc_id", simhash_udf()(F.col("text")).alias("sim"),
             F.md5(F.concat_ws(" ", F.split(F.trim(F.lower("text")), r"\s+")))
@@ -1551,9 +1556,10 @@ def oracle_sql() -> dict[str, str]:
                         ((s_suppkey*29) % 640)/4.0 - 80.0 + 0.125 AS slat
                  FROM supplier)
         SELECT c.c_custkey, s.s_suppkey,
-               CAST(floor(2*asin(sqrt( sin(radians(s.slat - c.lat)/2)*sin(radians(s.slat - c.lat)/2)
+               CAST(floor(2*asin(sqrt(least(1.0,
+                   sin(radians(s.slat - c.lat)/2)*sin(radians(s.slat - c.lat)/2)
                  + cos(radians(c.lat))*cos(radians(s.slat))
-                   * sin(radians(s.slng - c.lng)/2)*sin(radians(s.slng - c.lng)/2)))
+                   * sin(radians(s.slng - c.lng)/2)*sin(radians(s.slng - c.lng)/2))))
                  * 6371010.0 / 1000.0) AS BIGINT) AS dist_km
         FROM cust c JOIN supp s ON c.c_nationkey = s.s_nationkey
     """

@@ -235,7 +235,11 @@ def st_distance_lnglat(lng1, lat1, lng2, lat2):
     h = (F.sin(dlat) * F.sin(dlat)
          + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
          * F.sin(dlng) * F.sin(dlng))
-    return 2.0 * F.asin(F.sqrt(h)) * F.lit(float(ops.EARTH_RADIUS_METERS))
+    # clamp: float rounding can push h past 1 for (near-)antipodal pairs,
+    # where asin(sqrt(h)) would be NaN (and DuckDB's asin raises) — the
+    # oracle SQL carries the same least(1.0, ...) clamp
+    return 2.0 * F.asin(F.sqrt(F.least(h, F.lit(1.0)))) \
+        * F.lit(float(ops.EARTH_RADIUS_METERS))
 
 
 @pandas_udf(T.DoubleType())

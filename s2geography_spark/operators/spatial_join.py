@@ -281,6 +281,14 @@ MAX_BROADCAST_INDEX_ROWS = 8_000_000
 MAX_BROADCAST_EXPLODED_CELLS = 2_000_000
 
 
+class DimTooLargeError(ValueError):
+    """Dim side exceeds a broadcast guardrail.  A DEDICATED type so the
+    automatic shuffle-path fallback in spatial_join catches ONLY the size
+    overflow — a bare `except ValueError` also swallowed genuine data
+    errors (corrupt WKB raising during the driver-side decode) and
+    resurfaced them later on an executor with an unrelated stack trace."""
+
+
 def dim_broadcast_stats(regions: DataFrame, region_geog: str,
                         covering_col: str = None):
     """(row_count, approx_geog_bytes, exploded_cell_count) in ONE small
@@ -348,7 +356,7 @@ class PreparedRegions:
             else max_cells
         n, b, c = dim_broadcast_stats(regions, region_geog, covering_col)
         if n > max_rows or b > max_bytes or (c or 0) > max_cells:
-            raise ValueError(
+            raise DimTooLargeError(
                 f"dim side too large for the broadcast path ({n} rows, "
                 f"{b} geography bytes, {c} exploded covering cells > "
                 f"{max_rows}/{max_bytes}/{max_cells}); use "
@@ -486,6 +494,20 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     amortize the dim-side preparation (broadcast, bbox, covering explode)
     across many point-side joins.
     """
+    if coords not in ("lnglat", "leaf"):
+        raise ValueError(f"coords must be 'lnglat' or 'leaf': {coords!r}")
+    if coords == "leaf":
+        # cell-center semantics exist only on the subdivided plans; every
+        # other plan dereferences lng/lat — fail loudly instead of
+        # silently joining on un-quantized coordinates
+        if isinstance(regions, PreparedRegions) or broadcast or \
+                refine_mode not in ("auto", "subdivided"):
+            raise ValueError(
+                "coords='leaf' requires broadcast=False and "
+                "refine_mode='subdivided' (or 'auto')")
+        if leaf_col is None and key_col is None:
+            raise ValueError("coords='leaf' requires leaf_col (the corpus "
+                             "has no lng/lat to derive the leaf id from)")
     prep: Optional[PreparedRegions] = None
     if isinstance(regions, PreparedRegions):
         prep = regions
@@ -506,7 +528,7 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                                        region_geog=region_geog,
                                        region_id=region_id,
                                        covering_col=covering_col)
-            except ValueError:
+            except DimTooLargeError:
                 prep = None
 
     if key_col is not None:
@@ -630,8 +652,6 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         # 3x fewer bytes through the fact exchange; requires the corpus to
         # have been quantized to cell centers at ingest (lng/lat columns
         # are ignored and may be absent).
-        if coords not in ("lnglat", "leaf"):
-            raise ValueError(f"coords must be 'lnglat' or 'leaf': {coords}")
         leaf_mode = coords == "leaf"
         pts = pts.withColumnRenamed("_ck", "_ckp")
         if not leaf_mode:
@@ -647,6 +667,12 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             # broadcast: overflow raises, callers fall back to the
             # shuffling 'subdivided' mode.
             salt = 0
+            # materialize ONCE: without this the stats guard runs the
+            # per-region subdivided_state_udf over the whole dim, and the
+            # broadcast then re-executes the same UDF from scratch at join
+            # time.  localCheckpoint blocks carry no CacheManager entry —
+            # the ContextCleaner frees them with the DataFrame.
+            exploded = exploded.localCheckpoint(eager=True)
             stats = exploded.agg(
                 F.count("*").alias("n"),
                 F.sum(F.octet_length("_state")).alias("b")).collect()[0]
@@ -914,13 +940,22 @@ def _subdivide_region(cells_u64, ra, rb):
         return [(False, False, None, []) for _ in range(n)]
     corners_in = sphere.contains_points(
         quads.reshape(-1, 3), ra, rb, model="open").reshape(-1, 4)
-    # (n, 4, E) cell-edge x ring-edge interactions
-    cross_full = sphere.arcs_cross(
-        quads[:, :, None, :], qb[:, :, None, :],
-        ra[None, None, :, :], rb[None, None, :, :])
-    near = sphere.arc_arc_distance(
-        quads[:, :, None, :], qb[:, :, None, :],
-        ra[None, None, :, :], rb[None, None, :, :]) <= _SUBDIV_TOUCH_EPS
+    # (n, 4, E) cell-edge x ring-edge interactions.  The near-contact
+    # dilation uses the endpoint-distance stack DIRECTLY rather than
+    # arc_arc_distance, which would re-run the identical arcs_cross tensor
+    # internally (sphere.py:100) — crossing pairs are already included via
+    # cross_full, so zeroing their distance would be redundant work.
+    A = quads[:, :, None, :]
+    B = qb[:, :, None, :]
+    Cc = ra[None, None, :, :]
+    D = rb[None, None, :, :]
+    cross_full = sphere.arcs_cross(A, B, Cc, D)
+    near = np.minimum(
+        np.minimum(sphere.point_arc_distance(A, Cc, D),
+                   sphere.point_arc_distance(B, Cc, D)),
+        np.minimum(sphere.point_arc_distance(Cc, A, B),
+                   sphere.point_arc_distance(D, A, B))
+    ) <= _SUBDIV_TOUCH_EPS
     touches = (cross_full | near).any(axis=1)       # (n, E)
     va = C.from_xyz(ra[:, 0], ra[:, 1], ra[:, 2])   # (E,) vertex leaf ids
     vb = C.from_xyz(rb[:, 0], rb[:, 1], rb[:, 2])

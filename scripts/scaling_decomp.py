@@ -3,9 +3,11 @@ nested slices at two parallelism levels:
   scan        — parquet scan + count of the 3 join columns
   scan_key    — + leaf->fixed-level key (pure Column bit math)
   shuffled    — + repartition by the key (the fact-side exchange)
-  candidates  — + SHUFFLE_HASH join against the exploded dim (no refine)
   full        — the complete join incl. parity refine + rollup
 Each (cpus) level runs in its own subprocess; slices interleave x reps.
+(The pre-refine candidate join is not separable from outside the
+operator, so there is no isolated 'candidates' slice — full minus
+shuffled approximates join + refine together.)
 """
 import json
 import os
@@ -37,15 +39,6 @@ def t_scan_key():
 def t_shuffled():
     return m.withColumn("_ck", cell_join_key(cell_parent(F.col("leaf"), 8))) \
         .repartition(F.col("_ck")).count()
-
-def t_cand():
-    j = spatial_join(m, regions, predicate="contains", broadcast=False,
-                     salt=4, level=8, leaf_col="leaf")
-    # candidates only: strip the refine by counting the pre-refine join —
-    # approximated by running the full join but dropping refine is not
-    # expressible from outside; instead count rows after bbox join via
-    # a contains=False trick is wrong; so this slice = full join.
-    return j.groupBy("region_id").count().collect()
 
 def t_full():
     j = spatial_join(m, regions, predicate="contains", broadcast=False,
