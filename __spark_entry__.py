@@ -695,6 +695,66 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " pixel_sum long")
 
 
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media CONTAINER-METADATA oracle (operators/mediaprobe.py): the
+    per-object metadata pass a multimodal ingest runs on everything —
+    MP3 frame-header walk (frames/duration/bitrate from ISO 11172-3
+    headers, zero samples decoded), H.264 Annex-B NAL split + exp-Golomb
+    SPS parse (dims/keyframe count), and image header probes.  Fixtures
+    are planted per doc_id with closed-form parameters; every 10th object
+    is corrupt bytes and must surface as ok=false (-1 sentinels), not a
+    task failure.  The DuckDB oracle recomputes each probed field from
+    doc_id arithmetic — a header-walk bug (frame-length formula, bitrate
+    table, SPS crop units) breaks the value hash."""
+    import pandas as _pd
+    from s2geography_spark.operators.mediaprobe import (make_h264, make_mp3,
+                                                        probe_media_df)
+    from s2geography_spark.operators.multimodal import encode_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id").where(F.col("doc_id") < 60)
+
+    def plant(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pick = did % 3
+                if did % 10 == 9:
+                    buf = b"\xde\xad" * 8
+                elif pick == 0:
+                    w, h = 16 + (did % 5) * 8, 8 + (did % 4) * 8
+                    g = ((np.arange(h * w) + did) % 256) \
+                        .astype(np.uint8).reshape(h, w)
+                    buf = encode_png(np.dstack([g, g, g]))
+                elif pick == 1:
+                    buf = make_mp3(10 + did % 25,
+                                   kbps=64 if did % 2 == 0 else 96,
+                                   rate=22050)
+                else:
+                    buf = make_h264(16 * (4 + did % 6), 16 * (3 + did % 4),
+                                    1 + did % 5, frames_per_gop=3)
+                mt = ("image", "audio", "video")[pick]
+                rows.append((did, mt, bytearray(buf)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "media_type",
+                                               "media"])
+
+    media = docs.mapInPandas(
+        plant, "doc_id long, media_type string, media binary")
+    probed = probe_media_df(media)
+    neg1 = F.lit(-1)
+    return probed.select(
+        "doc_id", "media_type", "ok",
+        F.coalesce("width", neg1).alias("width"),
+        F.coalesce("height", neg1).alias("height"),
+        F.coalesce("duration_ms", neg1.cast("long")).alias("duration_ms"),
+        F.coalesce("n_frames", neg1).alias("n_frames"),
+        F.coalesce("n_keyframes", neg1).alias("n_keyframes"),
+        F.coalesce("bitrate_kbps", neg1).alias("bitrate_kbps"),
+        F.coalesce("sample_rate", neg1).alias("sample_rate"))
+
+
 def q_geo_zm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END Z/M transport oracle (round-4 verdict item 3: the zm
     columns were pytest-only).  Each customer gets a meridian LINESTRING ZM
@@ -1479,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": q_checkpoint_resume,
         "snapshot_reads": q_snapshot_reads,
         "media_stats": q_media_stats,
+        "media_probe": q_media_probe,
         "events_first_seen": q_events_first_seen,
         "text_quality": q_text_quality,
         "hex_tiles": q_hex_tiles,
@@ -1847,6 +1908,41 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'pruned_lt200', lang, count(*), CAST(sum(n_chars) AS BIGINT)
         FROM documents WHERE doc_id < 200 GROUP BY lang
+    """
+
+    # every probed field is doc_id arithmetic: PNG dims, MP3 frame math
+    # (frames*576 samples at 22050 Hz; exact .5 is impossible since
+    # 576000/22050 has an odd reduced denominator, so floor(x+0.5)
+    # matches Python round), H.264 GOP counts, corrupt -> -1 sentinels
+    sqls["media_probe"] = """
+        WITH d AS (SELECT doc_id, doc_id % 3 AS pick,
+                          doc_id % 10 = 9 AS bad
+                   FROM documents WHERE doc_id < 60)
+        SELECT doc_id,
+               CASE pick WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               NOT bad AS ok,
+               CASE WHEN bad THEN -1 WHEN pick = 0 THEN 16 + (doc_id%5)*8
+                    WHEN pick = 2 THEN 16*(4 + doc_id%6)
+                    ELSE -1 END AS width,
+               CASE WHEN bad THEN -1 WHEN pick = 0 THEN 8 + (doc_id%4)*8
+                    WHEN pick = 2 THEN 16*(3 + doc_id%4)
+                    ELSE -1 END AS height,
+               CASE WHEN bad THEN -1 WHEN pick = 1 THEN
+                    CAST(floor((10 + doc_id%25)*576*1000.0/22050 + 0.5)
+                         AS BIGINT)
+                    ELSE -1 END AS duration_ms,
+               CASE WHEN bad THEN -1 WHEN pick = 1 THEN 10 + doc_id%25
+                    WHEN pick = 2 THEN 3*(1 + doc_id%5)
+                    ELSE -1 END AS n_frames,
+               CASE WHEN bad THEN -1 WHEN pick = 2 THEN 1 + doc_id%5
+                    ELSE -1 END AS n_keyframes,
+               CASE WHEN bad THEN -1 WHEN pick = 1 THEN
+                    CASE WHEN doc_id%2 = 0 THEN 64 ELSE 96 END
+                    ELSE -1 END AS bitrate_kbps,
+               CASE WHEN bad THEN -1 WHEN pick = 1 THEN 22050
+                    ELSE -1 END AS sample_rate
+        FROM d
     """
 
     sqls["media_stats"] = """
