@@ -1430,6 +1430,31 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(corpus, queries, k=5).select("q_id", "rank", "vec_id")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN oracle: the inverted-file scale path (broadcast centroids,
+    map-only corpus list assignment, nprobe-list probe join — never
+    all-pairs).  Centroids are the 16 lowest vec_ids; queries the first
+    10 vectors probe their 4 nearest lists.  The DuckDB oracle replicates
+    the SAME quantize->probe->refine pipeline in SQL (argmax centroid
+    per vector, top-nprobe lists per query, exact cosine top-k inside
+    probed lists), so approximation choices are checked exactly — a
+    tie-break or assignment bug shifts rows and breaks the hash."""
+    from s2geography_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", dbl.alias("embedding"))
+    queries = (emb.where(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"), dbl.alias("q_vec")))
+    cents = (emb.where(F.col("vec_id") < 16)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     dbl.alias("embedding")))
+    # dim 64 is a dataset constant (TESTDATA.md) — same convention as
+    # q_embedding_near_dup
+    return (ivf_topk(corpus, queries, k=5, centroids=cents,
+                     dim=64, nprobe=4)
+            .select("q_id", "rank", "vec_id"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates via LSH buckets.  The corpus has no
     natural near-dups (max pairwise cosine ~0.51), so clones of the first 20
@@ -1566,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "lineitem_agg": q_lineitem_agg,
         "top_customers": q_top_customers,
@@ -2429,6 +2455,42 @@ def oracle_sql() -> dict[str, str]:
         rk AS (SELECT q_id, vec_id,
                       row_number() OVER (PARTITION BY q_id
                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+               FROM s)
+        SELECT q_id, CAST(rank AS INT) AS rank, vec_id FROM rk WHERE rank <= 5
+    """
+
+    # the oracle replays IVF itself: nearest-centroid assignment (argmax
+    # cosine, lower centroid id on ties), top-nprobe probe lists per
+    # query, exact cosine top-k INSIDE probed lists only.  Vectors cast
+    # to DOUBLE[] so both engines rank in float64.
+    sqls["ivf_topk"] = """
+        WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+                      FROM embeddings WHERE vec_id < 16),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+        assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT c.vec_id, cent.cid,
+                       row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY list_cosine_similarity(c.v, cent.cvec)
+                                    DESC, cent.cid ASC) AS r
+                FROM c CROSS JOIN cent) WHERE r = 1),
+        probes AS (
+            SELECT q_id, cid FROM (
+                SELECT q.q_id, cent.cid,
+                       row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY list_cosine_similarity(q.qv, cent.cvec)
+                                    DESC, cent.cid ASC) AS r
+                FROM q CROSS JOIN cent) WHERE r <= 4),
+        s AS (SELECT p.q_id, a.vec_id,
+                     list_cosine_similarity(c.v, q.qv) AS cosine
+              FROM probes p JOIN assigned a ON p.cid = a.cid
+              JOIN c ON c.vec_id = a.vec_id
+              JOIN q ON q.q_id = p.q_id),
+        rk AS (SELECT q_id, vec_id,
+                      row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, vec_id ASC) AS rank
                FROM s)
         SELECT q_id, CAST(rank AS INT) AS rank, vec_id FROM rk WHERE rank <= 5
     """

@@ -8,6 +8,9 @@
   cosine refine.
 * embedding_near_duplicates — pairs with cosine >= threshold via the same
   banded LSH self-join; optional hot-bucket cap for degenerate corpora.
+* ivf_topk — inverted-file ANN: broadcast coarse centroids, map-only
+  corpus list assignment, query probes nprobe lists, exact refine inside
+  the probed lists only.
 """
 
 from __future__ import annotations
@@ -144,6 +147,89 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int, *,
     pair = (c.join(q, "_bucket")
             .dropDuplicates([query_id, corpus_id]))
     pair = pair.withColumn("cosine", cosine_col(F.col(corpus_vec), F.col(query_vec)))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
+                                             F.col(corpus_id).asc())
+    return (pair.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id, "rank", corpus_id, "cosine"))
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: embedding -> array<int> of the `nprobe` most-similar
+    centroid ids by cosine (ties broken toward the LOWER centroid index).
+    One matmul per Arrow batch against the broadcast centroid matrix;
+    with nprobe=1 this is the corpus-side coarse quantizer."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def udf(vec: pd.Series) -> pd.Series:
+        mats, idx = [], []
+        for i, v in enumerate(vec):
+            if v is not None and len(v) == cn.shape[1]:
+                mats.append(v)
+                idx.append(i)
+        out = [None] * len(vec)
+        if idx:
+            M = np.asarray(mats, dtype=np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            sims = M @ cn.T                      # (n, n_lists)
+            # argsort on (-sim, index): stable mergesort keeps the lower
+            # centroid index first among exact ties
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            for j, i in enumerate(idx):
+                out[i] = order[j].tolist()
+        return pd.Series(out, dtype=object)
+
+    return udf
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+             centroids: DataFrame, dim: int, nprobe: int = 4,
+             corpus_id: str = "vec_id", query_id: str = "q_id",
+             corpus_vec: str = "embedding", query_vec: str = "q_vec",
+             centroid_vec: str = "embedding") -> DataFrame:
+    """Inverted-file (IVF) approximate top-k — the classic ANN scale path
+    alongside lsh_topk.
+
+    The coarse quantizer is a small `centroids` DataFrame (k-means output
+    in production; any deterministic representative subset works — IVF
+    correctness never depends on centroid quality, only recall does).  It
+    is collected once (dim-side, bounded by n_lists) and broadcast inside
+    the assignment UDF, so:
+
+    - corpus side is MAP-ONLY: one matmul per Arrow batch assigns each
+      vector to its nearest centroid list.  At ingest the corpus can be
+      written bucketed by `_list` (materialize once, like the bucketed
+      mention corpus), making the query-time probe join exchange-free on
+      the fact side.
+    - query side probes its `nprobe` nearest lists, explodes, and
+      equi-joins the corpus on `_list` — candidates are only the probed
+      lists' members, never all-pairs.  Exact cosine + window top-k
+      refine the candidates.
+
+    Skew surface: a hot list (clustered corpus) concentrates candidates;
+    mitigate with more lists (finer quantizer) or split hot lists by a
+    salt on the corpus side — same playbook as the spatial cover join.
+    List ids are centroid ROW POSITIONS: sorted by a `centroid_id`
+    column when present, otherwise the input plan's collect order (pass
+    centroid_id for a deterministic mapping — plan order is not
+    guaranteed stable across runs)."""
+    if "centroid_id" in centroids.columns:
+        centroids = centroids.orderBy("centroid_id")
+    cent_rows = centroids.select(centroid_vec).collect()
+    C = np.asarray([r[0] for r in cent_rows], dtype=np.float64)
+    if C.ndim != 2 or C.shape[1] != dim:
+        raise ValueError(f"centroids must be (n_lists, {dim})")
+    assign1 = ivf_assign_udf(C, 1)
+    assignp = ivf_assign_udf(C, nprobe)
+    c = corpus.withColumn("_list", F.element_at(assign1(F.col(corpus_vec)),
+                                                1))
+    q = queries.withColumn("_list",
+                           F.explode(assignp(F.col(query_vec))))
+    pair = c.join(q, "_list")
+    pair = pair.withColumn("cosine",
+                           cosine_col(F.col(corpus_vec), F.col(query_vec)))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col(corpus_id).asc())
     return (pair.withColumn("rank", F.row_number().over(w))

@@ -192,6 +192,42 @@ def test_brute_force_topk_exact(spark, emb):
         assert mine == expect
 
 
+def test_ivf_topk_full_probe_is_exact(spark, emb):
+    # probing ALL lists makes IVF exact: it must equal brute force
+    corpus = emb.limit(300)
+    queries = (emb.limit(5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    dim = len(corpus.first().embedding)
+    cents = (emb.where(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    exact = {(r.q_id, r.rank): r.vec_id for r in
+             similarity.brute_force_topk(corpus, queries, k=3).collect()}
+    ivf = {(r.q_id, r.rank): r.vec_id for r in
+           similarity.ivf_topk(corpus, queries, k=3, centroids=cents,
+                               dim=dim, nprobe=8).collect()}
+    assert ivf == exact
+
+
+def test_ivf_topk_probe_subset_and_self_recall(spark, emb):
+    corpus = emb.limit(400)
+    queries = (corpus.limit(20)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    dim = len(corpus.first().embedding)
+    cents = (emb.where(F.col("vec_id") < 16)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    got = similarity.ivf_topk(corpus, queries, k=1, centroids=cents,
+                              dim=dim, nprobe=1).collect()
+    # nprobe=1 still finds the query itself: a vector's own nearest list
+    # is by definition the one the corpus copy was assigned to
+    top1 = {r.q_id: r.vec_id for r in got if r.rank == 1}
+    assert sum(1 for q, v in top1.items() if q == v) == 20
+    # a probed-subset search returns at most k rows per query and only
+    # candidates from probed lists (sanity: row count bounded)
+    assert len(got) == 20
+
+
 def test_lsh_topk_self_recall(spark, emb):
     corpus = emb.limit(400)
     queries = (corpus.limit(20)
