@@ -1192,6 +1192,46 @@ def q_s2_cell_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_is_valid(F.col("cid")).alias("valid"))
 
 
+def q_s2_cell_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell GEOMETRY kernels — s2_cell_vertex lnglat, exact cell area
+    (Oosterom-Strackee spherical-triangle pair) and S2Cell::ApproxArea
+    (flat-quad norm + spherical correction; op/cell.cc:64-101) — over all
+    288 (face x level<=2 x Hilbert-digit) cells, one row per vertex k.
+    The oracle replays the two-level Hilbert pos->ij decode with the
+    public lookup tables as SQL list literals, the quadratic st->uv
+    projection, the per-face uv->xyz frame, normalization, and the same
+    triangle / flat-quad area formulas in closed-form SQL — so the full
+    cellid -> geometry pipeline (to_face_ij, _st_to_uv, face_uv_to_xyz,
+    cell_vertices_xyz, cell_area, cell_area_approx) is independently
+    recomputed, not just self-consistent."""
+    from s2geography_spark.functions.geo import (s2_cell_area,
+                                                 s2_cell_area_approx,
+                                                 s2_cell_vertex)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id").where(F.col("doc_id") < 288)
+    cid = F.expr(
+        "shiftleft(CAST(doc_id % 6 AS BIGINT), 61) | CASE"
+        " WHEN (doc_id div 6) % 3 = 0 THEN shiftleft(CAST(1 AS BIGINT), 60)"
+        " WHEN (doc_id div 6) % 3 = 1 THEN"
+        "   shiftleft(CAST((doc_id div 18) % 4 AS BIGINT), 59)"
+        "   | shiftleft(CAST(1 AS BIGINT), 58)"
+        " ELSE shiftleft(CAST((doc_id div 18) % 4 AS BIGINT), 59)"
+        "   | shiftleft(CAST((doc_id div 72) % 4 AS BIGINT), 57)"
+        "   | shiftleft(CAST(1 AS BIGINT), 56) END")
+    d = docs.select(
+        "doc_id", cid.alias("cid"),
+        F.expr("CAST(doc_id % 6 AS INT)").alias("face"),
+        F.expr("CAST((doc_id div 6) % 3 AS INT)").alias("lvl"),
+        F.explode(F.expr("array(0, 1, 2, 3)")).alias("k"))
+    v = s2_cell_vertex(F.col("cid"), F.col("k"))
+    return d.select(
+        "doc_id", "face", "lvl", "k",
+        (F.round(v.getField("lng"), 6) + 0.0).alias("vlng"),  # -0.0 -> 0.0
+        (F.round(v.getField("lat"), 6) + 0.0).alias("vlat"),
+        F.round(s2_cell_area(F.col("cid")), 9).alias("area_sr"),
+        F.round(s2_cell_area_approx(F.col("cid")), 9).alias("approx_sr"))
+
+
 # simhash_banded signature plant: 8 byte lanes (top lane 7 bits -> 63-bit
 # signatures, no sign issues in either engine), multipliers small enough
 # that doc_id*K never overflows in DuckDB's checked BIGINT arithmetic
@@ -1583,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoarrow_io": q_geoarrow_io,
         "geo_reduce_precision": q_geo_reduce_precision,
         "s2_cell_ops": q_s2_cell_ops,
+        "s2_cell_geom": q_s2_cell_geom,
         "simhash_banded": q_simhash_banded,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -2239,6 +2280,117 @@ def oracle_sql() -> dict[str, str]:
                cid - lsb + 7 * (lsb >> 2) AS child3,
                true AS valid
         FROM x
+    """
+
+    # full Hilbert/projection recompute for s2_cell_geom: two-level
+    # pos->ij decode (public lookup tables as list literals), quadratic
+    # st->uv, per-face uv->xyz, normalize, Oosterom-Strackee triangle
+    # areas, and the ApproxArea flat-quad correction — all closed-form
+    sqls["s2_cell_geom"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 CAST(doc_id % 6 AS INT) AS face,
+                 CAST((doc_id // 6) % 3 AS INT) AS lvl,
+                 CAST((doc_id // 18) % 4 AS INT) AS d1,
+                 CAST((doc_id // 72) % 4 AS INT) AS d2
+          FROM documents WHERE doc_id < 288),
+        h1 AS (
+          SELECT *,
+            [[0,1,3,2],[0,2,3,1],[3,2,0,1],[3,1,0,2]][(face % 2) + 1][d1 + 1]
+              AS sub1,
+            CAST(xor(CAST(face % 2 AS BIGINT),
+                     CAST([1,0,0,3][d1 + 1] AS BIGINT)) AS INT) AS o1
+          FROM p),
+        h2 AS (
+          SELECT *,
+            [[0,1,3,2],[0,2,3,1],[3,2,0,1],[3,1,0,2]][o1 + 1][d2 + 1] AS sub2
+          FROM h1),
+        ij AS (
+          SELECT doc_id, face, lvl,
+            CASE lvl WHEN 0 THEN 0.0 WHEN 1 THEN (sub1 // 2) / 2.0
+                     ELSE ((sub1 // 2) * 2 + (sub2 // 2)) / 4.0 END AS s_lo,
+            CASE lvl WHEN 0 THEN 0.0 WHEN 1 THEN (sub1 % 2) / 2.0
+                     ELSE ((sub1 % 2) * 2 + (sub2 % 2)) / 4.0 END AS t_lo,
+            CASE lvl WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS sz
+          FROM h2),
+        uv AS (
+          SELECT *,
+            CASE WHEN s_lo >= 0.5 THEN (1.0/3.0)*(4*s_lo*s_lo - 1)
+                 ELSE (1.0/3.0)*(1 - 4*(1-s_lo)*(1-s_lo)) END AS u_lo,
+            CASE WHEN s_lo + sz >= 0.5
+                 THEN (1.0/3.0)*(4*(s_lo+sz)*(s_lo+sz) - 1)
+                 ELSE (1.0/3.0)*(1 - 4*(1-s_lo-sz)*(1-s_lo-sz)) END AS u_hi,
+            CASE WHEN t_lo >= 0.5 THEN (1.0/3.0)*(4*t_lo*t_lo - 1)
+                 ELSE (1.0/3.0)*(1 - 4*(1-t_lo)*(1-t_lo)) END AS v_lo,
+            CASE WHEN t_lo + sz >= 0.5
+                 THEN (1.0/3.0)*(4*(t_lo+sz)*(t_lo+sz) - 1)
+                 ELSE (1.0/3.0)*(1 - 4*(1-t_lo-sz)*(1-t_lo-sz)) END AS v_hi
+          FROM ij),
+        vk AS (
+          SELECT uv.*, kk.k,
+            CASE kk.k WHEN 0 THEN u_lo WHEN 1 THEN u_hi
+                      WHEN 2 THEN u_hi ELSE u_lo END AS u,
+            CASE kk.k WHEN 0 THEN v_lo WHEN 1 THEN v_lo
+                      WHEN 2 THEN v_hi ELSE v_hi END AS v
+          FROM uv, (SELECT unnest([0, 1, 2, 3]) AS k) kk),
+        rawxyz AS (
+          SELECT *,
+            CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -u WHEN 2 THEN -u
+                      WHEN 3 THEN -1.0 WHEN 4 THEN v ELSE v END AS rx,
+            CASE face WHEN 0 THEN u WHEN 1 THEN 1.0 WHEN 2 THEN -v
+                      WHEN 3 THEN -v WHEN 4 THEN -1.0 ELSE u END AS ry,
+            CASE face WHEN 0 THEN v WHEN 1 THEN v WHEN 2 THEN 1.0
+                      WHEN 3 THEN -u WHEN 4 THEN -u ELSE -1.0 END AS rz
+          FROM vk),
+        nxyz AS (
+          SELECT doc_id, face, lvl, k,
+                 rx / sqrt(rx*rx + ry*ry + rz*rz) AS x,
+                 ry / sqrt(rx*rx + ry*ry + rz*rz) AS y,
+                 rz / sqrt(rx*rx + ry*ry + rz*rz) AS z
+          FROM rawxyz),
+        quad AS (
+          SELECT doc_id, lvl,
+                 max(CASE WHEN k = 0 THEN x END) AS x0,
+                 max(CASE WHEN k = 0 THEN y END) AS y0,
+                 max(CASE WHEN k = 0 THEN z END) AS z0,
+                 max(CASE WHEN k = 1 THEN x END) AS x1,
+                 max(CASE WHEN k = 1 THEN y END) AS y1,
+                 max(CASE WHEN k = 1 THEN z END) AS z1,
+                 max(CASE WHEN k = 2 THEN x END) AS x2,
+                 max(CASE WHEN k = 2 THEN y END) AS y2,
+                 max(CASE WHEN k = 2 THEN z END) AS z2,
+                 max(CASE WHEN k = 3 THEN x END) AS x3,
+                 max(CASE WHEN k = 3 THEN y END) AS y3,
+                 max(CASE WHEN k = 3 THEN z END) AS z3
+          FROM nxyz GROUP BY doc_id, lvl),
+        tri AS (
+          SELECT doc_id, lvl,
+            2*atan2(abs(x0*(y1*z2 - z1*y2) + y0*(z1*x2 - x1*z2)
+                        + z0*(x1*y2 - y1*x2)),
+                    1 + (x0*x1 + y0*y1 + z0*z1) + (x1*x2 + y1*y2 + z1*z2)
+                      + (x2*x0 + y2*y0 + z2*z0)) AS t1,
+            2*atan2(abs(x0*(y2*z3 - z2*y3) + y0*(z2*x3 - x2*z3)
+                        + z0*(x2*y3 - y2*x3)),
+                    1 + (x0*x2 + y0*y2 + z0*z2) + (x2*x3 + y2*y3 + z2*z3)
+                      + (x3*x0 + y3*y0 + z3*z0)) AS t2,
+            0.5*sqrt(((y2-y0)*(z3-z1) - (z2-z0)*(y3-y1))
+                       * ((y2-y0)*(z3-z1) - (z2-z0)*(y3-y1))
+                     + ((z2-z0)*(x3-x1) - (x2-x0)*(z3-z1))
+                       * ((z2-z0)*(x3-x1) - (x2-x0)*(z3-z1))
+                     + ((x2-x0)*(y3-y1) - (y2-y0)*(x3-x1))
+                       * ((x2-x0)*(y3-y1) - (y2-y0)*(x3-x1))) AS flat
+          FROM quad)
+        SELECT n.doc_id, n.face, n.lvl, n.k,
+               round(degrees(atan2(n.y, n.x)), 6) + 0.0 AS vlng,
+               round(degrees(atan2(n.z, sqrt(n.x*n.x + n.y*n.y))), 6) + 0.0
+                 AS vlat,
+               round(t.t1 + t.t2, 9) AS area_sr,
+               round(CASE WHEN n.lvl < 2
+                          THEN (4*pi()/6) / power(4.0, n.lvl)
+                          ELSE t.flat * 2
+                               / (1 + sqrt(1 - least(t.flat/pi(), 1.0)))
+                     END, 9) AS approx_sr
+        FROM nxyz n JOIN tri t ON n.doc_id = t.doc_id
     """
 
     sqls["simhash_banded"] = f"""

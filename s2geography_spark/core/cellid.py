@@ -605,11 +605,20 @@ def cell_max_distance(a_ids, b_ids):
 def _quad_contains_point(v, p):
     """True where point p (n,3) is inside the spherical quad v (n,4,3).
 
-    Works for convex CCW or CW quads by checking all same-side."""
+    Orientation-aware: each edge's required side is the side the quad's
+    own interior point (normalized vertex mean — inside, since cells are
+    convex and smaller than a hemisphere) lies on.  A plain "all vertices
+    same side" test also accepts the ANTIPODAL mirror of the quad (every
+    sign flips consistently), which made cell_max_distance(A, A) return
+    pi instead of the cell diameter."""
     e0 = v
     e1 = v[:, [1, 2, 3, 0]]
+    ctr = v.mean(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ctr = ctr / np.linalg.norm(ctr, axis=-1, keepdims=True)
+    s_in = _sign(e0, e1, ctr[:, None, :])
     s = _sign(e0, e1, p[:, None, :])
-    return (s >= 0).all(axis=1) | (s <= 0).all(axis=1)
+    return (s * s_in >= 0).all(axis=1)
 
 
 # ---------------------------------------------------------------------------

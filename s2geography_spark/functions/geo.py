@@ -48,7 +48,8 @@ __all__ = [
     "st_buffer_quadsegs",
     "st_buffer_params", "st_isvalid", "st_isvalidreason",
     "s2_intersectsbox", "s2_cell_center", "s2_cell_distance",
-    "s2_cell_max_distance", "s2_cell_area", "s2_cell_common_ancestor_level",
+    "s2_cell_max_distance", "s2_cell_area", "s2_cell_area_approx",
+    "s2_cell_vertex", "s2_cell_common_ancestor_level",
     "s2_cellfromtoken", "s2_celltodebugstring", "s2_cellfromdebugstring",
     "multipoint_wkb", "st_intersection_area", "st_unaryunion", "st_rebuild",
 ]
@@ -716,6 +717,40 @@ def s2_cell_area(cid):
     return _s2_cell_area_raw(_colify(cid).cast("string"))
 
 
+@pandas_udf(T.DoubleType())
+def _s2_cell_area_approx_raw(a: pd.Series) -> pd.Series:
+    ids, isnull = _ids_u64(a)
+    out = pd.Series(C.cell_area_approx(ids), dtype=object)
+    out[isnull] = None
+    return out
+
+
+def s2_cell_area_approx(cid):
+    """S2Cell::ApproxArea (op/cell.cc:94-101): average area at levels 0-1,
+    else flat quad area with spherical correction."""
+    return _s2_cell_area_approx_raw(_colify(cid).cast("string"))
+
+
+@pandas_udf(_LNGLAT_TYPE)
+def _s2_cell_vertex_raw(a: pd.Series, k: pd.Series) -> pd.DataFrame:
+    ids, isnull = _ids_u64(a)
+    kk = k.fillna(-1).to_numpy().astype(np.int64)
+    vtx = C.cell_vertices_xyz(ids)  # (n, 4, 3) CCW
+    sel = vtx[np.arange(len(ids)), np.clip(kk, 0, 3), :]
+    lng, lat = C.xyz_to_lnglat(sel[:, 0], sel[:, 1], sel[:, 2])
+    bad = isnull | ~C.is_valid(ids) | (kk < 0) | (kk > 3)
+    return pd.DataFrame({"lng": np.where(bad, np.nan, lng),
+                         "lat": np.where(bad, np.nan, lat)})
+
+
+def s2_cell_vertex(cid, k):
+    """Vertex k (0..3, CCW from the uv lower-left corner) of a cell as a
+    (lng, lat) struct — S2Cell::GetVertex semantics (op/cell.cc:64-74);
+    negative or out-of-range k and invalid cells -> null coordinates."""
+    return _s2_cell_vertex_raw(_colify(cid).cast("string"),
+                               _colify(k).cast("int"))
+
+
 @pandas_udf(T.IntegerType())
 def _s2_cell_common_ancestor_level_raw(a: pd.Series, b: pd.Series) -> pd.Series:
     ia, na = _ids_u64(a)
@@ -918,6 +953,8 @@ def register_sql_functions(spark):
         "s2_cell_distance": _s2_cell_distance_raw,
         "s2_cell_max_distance": _s2_cell_max_distance_raw,
         "s2_cell_area": _s2_cell_area_raw,
+        "s2_cell_area_approx": _s2_cell_area_approx_raw,
+        "s2_cell_vertex": _s2_cell_vertex_raw,
         "s2_cell_common_ancestor_level": _s2_cell_common_ancestor_level_raw,
         "s2_cellfromtoken": s2_cellfromtoken,
         "s2_celltodebugstring": _s2_celltodebugstring_raw,

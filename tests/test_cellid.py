@@ -115,6 +115,29 @@ def test_max_distance():
     assert np.isnan(C.cell_max_distance(tid, np.array([C.CELL_SENTINEL]))[0])
 
 
+def test_max_distance_self_is_diameter():
+    """max_distance(A, A) must be the cell diameter, not pi.
+
+    Regression: _quad_contains_point accepted the ANTIPODAL mirror of a
+    quad (all edge signs flip consistently), so the reflected-quad
+    containment test in cell_max_distance fired for A vs -A and returned
+    pi for every self pair.  The diameter of a convex cell is the max
+    pairwise vertex arc."""
+    for lng, lat, lev in [(10.0, 20.0, 5), (-64.0, 45.0, 3),
+                          (170.0, -80.0, 8), (0.0, 0.0, 1)]:
+        ids = C.from_lnglat(np.array([lng]), np.array([lat]), lev=lev)
+        got = C.cell_max_distance(ids, ids)[0]
+        v = C.cell_vertices_xyz(ids)[0]  # (4,3)
+        dots = np.clip(v @ v.T, -1.0, 1.0)
+        diam = np.arccos(dots.min())
+        assert got == pytest.approx(diam, abs=1e-9)
+        assert got < np.pi / 2  # definitely not the antipodal pi
+    # antipodal pair still pi
+    ni = C.from_lnglat(np.array([0.0]), np.array([0.0]))
+    ani = C.from_lnglat(np.array([180.0]), np.array([0.0]))
+    assert C.cell_max_distance(ni, ani)[0] == np.pi
+
+
 def test_common_ancestor_level(test_cell):
     p5 = C.parent_checked(test_cell, np.array([5]))
     assert C.common_ancestor_level(p5, test_cell)[0] == 5

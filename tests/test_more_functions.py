@@ -91,6 +91,34 @@ def test_cell_udfs(spark):
     assert r2.t == a and r2.g == a
 
 
+def test_cell_vertex_area_udfs(spark):
+    # face-0 cell at level 0: vertices are the normalized cube corners
+    # (1, +/-1, +/-1)/sqrt(3) -> lng +/-45, lat +/-atan(1/sqrt(2));
+    # area is exactly 1/6 of the sphere and ApproxArea the same average
+    face0 = 1 << 60
+    leaf = int(C.from_lnglat(np.array([10.0]), np.array([20.0])).view(np.int64)[0])
+    df = spark.createDataFrame([(face0, leaf)], "f long, leaf long")
+    r = df.select(
+        sf.s2_cell_vertex("f", F.lit(0)).alias("v0"),
+        sf.s2_cell_vertex("f", F.lit(2)).alias("v2"),
+        sf.s2_cell_vertex("f", F.lit(7)).alias("bad"),
+        sf.s2_cell_area("f").alias("ar"),
+        sf.s2_cell_area_approx("f").alias("ap"),
+        sf.s2_cell_area_approx("leaf").alias("ap_leaf"),
+        sf.s2_cell_area("leaf").alias("ar_leaf"),
+    ).collect()[0]
+    lat_corner = np.degrees(np.arctan(1.0 / np.sqrt(2.0)))
+    assert r.v0.lng == pytest.approx(-45.0, abs=1e-9)
+    assert r.v0.lat == pytest.approx(-lat_corner, abs=1e-9)
+    assert r.v2.lng == pytest.approx(45.0, abs=1e-9)
+    assert r.v2.lat == pytest.approx(lat_corner, abs=1e-9)
+    assert r.bad.lng is None or np.isnan(r.bad.lng)  # out-of-range k
+    assert r.ar == pytest.approx(4 * np.pi / 6, abs=1e-12)
+    assert r.ap == pytest.approx(4 * np.pi / 6, abs=1e-12)
+    # ApproxArea is within ~3% of exact area at leaf level (S2 guarantee)
+    assert r.ap_leaf == pytest.approx(r.ar_leaf, rel=0.03)
+
+
 def test_sql_registration_full(spark):
     names = sf.register_sql_functions(spark)
     assert len(names) >= 45
