@@ -1323,6 +1323,37 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id("text").alias("lang_pred"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics via the vectorized flat-array
+    n-gram pass (operators/textstats.repetition_stats: factorize +
+    lexsort run-length counting, no per-token Python): duplicate-word
+    fraction, top single-word fraction, and the max char-coverage of any
+    word 2-/3-gram (occurrences x chars of the space-joined gram over
+    text length).  The oracle rebuilds the same per-doc frequency tables
+    relationally in DuckDB — unnest words / list_transform n-grams,
+    GROUP BY counts, max(c * len(gram)) — so the whole counting pipeline
+    is independently recomputed."""
+    from s2geography_spark.operators.textstats import repetition_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").where(F.col("doc_id") < 400)
+    d = docs.withColumn("_rs", repetition_stats("text"))
+    nw = F.col("_rs.n_words")
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.col("_rs.n_distinct").alias("n_distinct"),
+        F.when(nw <= 0, F.lit(0.0))
+        .otherwise(F.round((nw - F.col("_rs.n_distinct")) / nw, 6))
+        .alias("dup_word_frac"),
+        F.when(nw <= 0, F.lit(0.0))
+        .otherwise(F.round(F.col("_rs.top_word") / nw, 6))
+        .alias("top_word_frac"),
+        F.round(F.col("_rs.big_cover") / F.length("text"), 6)
+        .alias("top_bigram_char_frac"),
+        F.round(F.col("_rs.tri_cover") / F.length("text"), 6)
+        .alias("top_trigram_char_frac"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups on a 32-char text prefix digest THROUGH the
     engine operator (dedup.exact_duplicate_groups: digest hash groupBy with
@@ -1627,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_banded": q_simhash_banded,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "text_repetition": q_text_repetition,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1920,6 +1952,52 @@ def oracle_sql() -> dict[str, str]:
                         WHEN lat < -85.051128779806 THEN -85.051128779806
                         ELSE lat END) / 2)) * 6378137.0, 3) AS merc_y
         FROM pts
+    """
+
+    # relational rebuild of the per-doc word / n-gram frequency tables:
+    # words unnested and counted, 2-/3-grams built with list_transform
+    # over an index range, max char coverage = max(count * len(gram))
+    sqls["text_repetition"] = r"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\s+'),
+                             w -> len(w) > 0) AS ws
+          FROM documents WHERE doc_id < 400),
+        base AS (SELECT doc_id, text, ws, len(ws) AS nw FROM d),
+        tok AS (SELECT doc_id, unnest(ws) AS w FROM base),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        agg1 AS (SELECT doc_id, count(*) AS nd, max(c) AS topw
+                 FROM wc GROUP BY doc_id),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(len(ws) - 1),
+                             i -> ws[i + 1] || ' ' || ws[i + 2])) AS g
+               FROM base WHERE len(ws) >= 2),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        agg2 AS (SELECT doc_id, max(c * len(g)) AS bigc
+                 FROM bc GROUP BY doc_id),
+        tg AS (SELECT doc_id,
+                      unnest(list_transform(range(len(ws) - 2),
+                             i -> ws[i + 1] || ' ' || ws[i + 2]
+                                  || ' ' || ws[i + 3])) AS g
+               FROM base WHERE len(ws) >= 3),
+        tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+        agg3 AS (SELECT doc_id, max(c * len(g)) AS tric
+                 FROM tc GROUP BY doc_id)
+        SELECT b.doc_id, b.nw AS n_words, a1.nd AS n_distinct,
+               CASE WHEN b.nw <= 0 THEN 0.0
+                    ELSE round((b.nw - a1.nd) * 1.0 / b.nw, 6)
+               END AS dup_word_frac,
+               CASE WHEN b.nw <= 0 THEN 0.0
+                    ELSE round(a1.topw * 1.0 / b.nw, 6)
+               END AS top_word_frac,
+               round(a2.bigc * 1.0 / len(b.text), 6)
+                 AS top_bigram_char_frac,
+               round(a3.tric * 1.0 / len(b.text), 6)
+                 AS top_trigram_char_frac
+        FROM base b
+        LEFT JOIN agg1 a1 ON b.doc_id = a1.doc_id
+        LEFT JOIN agg2 a2 ON b.doc_id = a2.doc_id
+        LEFT JOIN agg3 a3 ON b.doc_id = a3.doc_id
     """
 
     sqls["text_quality"] = r"""

@@ -160,7 +160,8 @@ def run_join_bench(spark, mentions_path: str):
 
 
 def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4,
-                           refine_mode: str = "auto"):
+                           refine_mode: str = "auto",
+                           prefilter: bool = True):
     """Shuffle-path variant of the headline join (broadcast=False): region
     WKB travels with rows through a hash-partitioned equi-join on the
     (salted) cell key — the mode a non-broadcastable dim takes.  Used by
@@ -185,7 +186,7 @@ def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4,
     t0 = time.time()
     joined = spatial_join(mentions, regions, predicate="contains",
                           broadcast=False, salt=salt, level=8, leaf_col=leaf,
-                          refine_mode=refine_mode)
+                          refine_mode=refine_mode, prefilter=prefilter)
     out = joined.groupBy("region_id").agg(F.count("*").alias("n")).collect()
     dt = time.time() - t0
     rows_out = int(sum(r.n for r in out))

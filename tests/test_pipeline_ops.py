@@ -524,3 +524,51 @@ def test_wav_8bit_pcm_decode():
     s, rate = decode_wav(hdr + data)
     assert rate == 8000 and len(s) == 256
     assert s[128] == 0 and s[0] == -32768 and s.dtype == np.int16
+
+
+def test_repetition_stats_hand_computed(spark):
+    docs = [
+        (0, "a b c a b c a b c"),
+        (1, "the quick brown fox"),
+        (2, "x"),
+        (3, None),
+        (4, "line one\nline one\nline two\n\n- bullet\nend..."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = {x.doc_id: x for x in textstats.with_repetition_stats(df).collect()}
+    # doc 0: 9 words, 3 distinct; "a b" x3 covers 9 of 17 chars,
+    # "a b c" x3 covers 15 of 17
+    assert r[0].dup_word_frac == pytest.approx(6 / 9)
+    assert r[0].top_word_frac == pytest.approx(3 / 9)
+    assert r[0].top_bigram_char_frac == pytest.approx(9 / 17)
+    assert r[0].top_trigram_char_frac == pytest.approx(15 / 17)
+    # doc 1: all distinct; max bigram coverage is len("quick brown")=11
+    assert r[1].dup_word_frac == 0.0
+    assert r[1].top_bigram_char_frac == pytest.approx(11 / 19)
+    # doc 2: one word -> no n-grams
+    assert r[2].top_bigram_char_frac is None
+    assert r[2].top_trigram_char_frac is None
+    # doc 3: null text behaves as empty
+    assert r[3].dup_word_frac == 0.0 and r[3].top_word_frac == 0.0
+    # doc 4 line metrics: 5 non-blank lines, one repeated ("line one",
+    # 8 chars of 38), one ellipsis line, one bullet line
+    assert r[4].dup_line_frac == pytest.approx(1 / 5)
+    assert r[4].dup_line_char_frac == pytest.approx(8 / 38)
+    assert r[4].ellipsis_line_frac == pytest.approx(1 / 5)
+    assert r[4].bullet_line_frac == pytest.approx(1 / 5)
+    # all docs are under the 50-word gate -> repetition_pass everywhere
+    assert all(r[i].repetition_pass for i in r)
+
+
+def test_repetition_gopher_gate(spark):
+    # 60 words of the same bigram loop -> fails top_bigram threshold;
+    # 60 distinct words -> passes
+    spam = " ".join(["buy now"] * 30)
+    ok = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame([(0, spam), (1, ok)],
+                               "doc_id long, text string")
+    r = {x.doc_id: x for x in textstats.with_repetition_stats(df).collect()}
+    assert not r[0].repetition_pass
+    # "buy now" x30 covers 30*7 of the 239 chars
+    assert r[0].top_bigram_char_frac == pytest.approx(210 / 239)
+    assert r[1].repetition_pass
