@@ -1354,6 +1354,85 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_trigram_char_frac"))
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/webtext.py): six
+    deterministic messy variants are synthesized per doc_id (scheme/host
+    case, default ports :80/:443, www. alias, utm_*/fbclid/gclid tracking
+    params, #fragments, shuffled query order, trailing slash) and the
+    engine must canonicalize them with pure Catalyst regexp/array
+    expressions, then group by the canonical key.  The oracle never sees
+    the messy URL: it recomputes the canonical form CLOSED-FORM from
+    doc_id arithmetic and groups on that, so the whole
+    parse-normalize-dedup path is independently checked."""
+    from s2geography_spark.operators.webtext import (
+        canonical_url, registered_domain, url_dedup_groups, url_host)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id").where(F.col("doc_id") < 600)
+    d = F.col("doc_id")
+    g, p = (d % 20).cast("string"), (d % 7).cast("string")
+    x, y = (d % 5).cast("string"), (d % 3).cast("string")
+    host = F.when(d % 4 == 0,
+                  F.concat(F.lit("sub.example"), g, F.lit(".co.uk"))) \
+        .otherwise(F.concat(F.lit("example"), g, F.lit(".com")))
+    path = F.concat(F.lit("/path"), p)
+    ab = F.concat(F.lit("?a="), x, F.lit("&b="), y)
+    ba = F.concat(F.lit("?b="), y, F.lit("&a="), x)
+    v = d % 6
+    url = (F.when(v == 0, F.concat(F.lit("https://"), host, path, ab))
+           .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                                  F.lit(":443"), path, ba))
+           .when(v == 2, F.concat(F.lit("https://www."), host, path,
+                                  F.lit("?a="), x,
+                                  F.lit("&utm_source=feed&b="), y))
+           .when(v == 3, F.concat(F.lit("https://"), host, path, ab,
+                                  F.lit("#frag"), d.cast("string")))
+           .when(v == 4, F.concat(F.lit("https://"), host, path,
+                                  F.lit("/?fbclid=Z"), d.cast("string"),
+                                  F.lit("&a="), x, F.lit("&b="), y))
+           .otherwise(F.concat(F.lit("http://"), host, F.lit(":80"),
+                               path, F.lit("?gclid=1"), F.lit("&b="), y,
+                               F.lit("&a="), x)))
+    urls = docs.select("doc_id", url.alias("url"))
+    per_doc = urls.select(
+        "doc_id",
+        canonical_url("url").alias("canon_url"),
+        url_host("url").alias("host"),
+        registered_domain(url_host("url")).alias("reg_domain"))
+    groups = url_dedup_groups(urls).select("canon_url", "n_docs",
+                                           "keep_id")
+    return per_doc.join(F.broadcast(groups), "canon_url") \
+        .select("doc_id", "canon_url", "host", "reg_domain", "n_docs",
+                "keep_id")
+
+
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible-text extraction (operators/webtext.html_to_text,
+    pure Catalyst regexp/array — the scan-stage boilerplate strip of a
+    crawl pipeline).  Each document's text is wrapped in a deterministic
+    page frame whose script BODY contains literal '<', quotes and
+    '&amp;' (a naive tag regex would corrupt it), plus a comment hiding a
+    fake <p>, and entity-encoded visible text (&nbsp; &lt; &gt;).  The
+    oracle never parses HTML: the expected output is the CLOSED FORM
+    'T{id}\\nDoc {id}\\n{text}\\ntail <end>', so tag stripping, script
+    dropping, entity decoding and line normalization are all checked
+    against an independent construction."""
+    from s2geography_spark.operators.webtext import html_to_text
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").where(F.col("doc_id") < 300)
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>T"), d,
+        F.lit("</title><style>p {color: red}</style>"
+              "<script type=\"text/javascript\">"
+              "if (1<2) { var s = \"&amp;<b></p>\"; }</script>"
+              "</head><body><h1>Doc "), d,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><!-- hidden <p>nope</p> -->"
+              "<div>tail&nbsp;&lt;end&gt;</div></body></html>"))
+    return docs.select(
+        "doc_id", html_to_text(html).alias("text_out"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups on a 32-char text prefix digest THROUGH the
     engine operator (dedup.exact_duplicate_groups: digest hash groupBy with
@@ -1659,6 +1738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "text_repetition": q_text_repetition,
+        "url_canon": q_url_canon,
+        "html_text": q_html_text,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1998,6 +2079,56 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN agg1 a1 ON b.doc_id = a1.doc_id
         LEFT JOIN agg2 a2 ON b.doc_id = a2.doc_id
         LEFT JOIN agg3 a3 ON b.doc_id = a3.doc_id
+    """
+
+    # the oracle never parses the messy URL: canonical form, host, and
+    # registrable domain are recomputed CLOSED-FORM from doc_id
+    # arithmetic (the synthesis moduli), and the dedup groups are built
+    # on that independent key
+    sqls["url_canon"] = r"""
+        WITH c AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 6 = 5 THEN 'http' ELSE 'https' END)
+                 || '://'
+                 || (CASE WHEN doc_id % 4 = 0
+                     THEN 'sub.example' || CAST(doc_id % 20 AS VARCHAR)
+                          || '.co.uk'
+                     ELSE 'example' || CAST(doc_id % 20 AS VARCHAR)
+                          || '.com' END)
+                 || '/path' || CAST(doc_id % 7 AS VARCHAR)
+                 || '?a=' || CAST(doc_id % 5 AS VARCHAR)
+                 || '&b=' || CAST(doc_id % 3 AS VARCHAR) AS canon_url,
+                 (CASE WHEN doc_id % 6 = 2 THEN 'www.' ELSE '' END)
+                 || (CASE WHEN doc_id % 4 = 0
+                     THEN 'sub.example' || CAST(doc_id % 20 AS VARCHAR)
+                          || '.co.uk'
+                     ELSE 'example' || CAST(doc_id % 20 AS VARCHAR)
+                          || '.com' END) AS host,
+                 (CASE WHEN doc_id % 4 = 0
+                  THEN 'example' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.co.uk'
+                  ELSE 'example' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.com' END) AS reg_domain
+          FROM documents WHERE doc_id < 600),
+        g AS (SELECT canon_url, count(*) AS n_docs,
+                     min(doc_id) AS keep_id
+              FROM c GROUP BY canon_url)
+        SELECT c.doc_id, c.canon_url, c.host, c.reg_domain,
+               g.n_docs, g.keep_id
+        FROM c JOIN g USING (canon_url)
+    """
+
+    # closed-form expected page text: the oracle builds the answer from
+    # doc_id + the raw text column directly (title line, h1 line, body,
+    # decoded tail) — it never sees the HTML the engine had to strip
+    sqls["html_text"] = """
+        SELECT doc_id,
+               'T' || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || CASE WHEN len(trim(text)) > 0
+                       THEN trim(text) || chr(10) ELSE '' END
+               || 'tail <end>' AS text_out
+        FROM documents WHERE doc_id < 300
     """
 
     sqls["text_quality"] = r"""

@@ -7,9 +7,9 @@ parallelism levels on the same pre-materialized input, reporting throughput
 at each and the N->4N scaling efficiency.  Each level runs in its own
 subprocess (a JVM's local master is fixed at startup).
 
-Protocol (round 4, extended round 5): the four join modes — broadcast,
-shuffle subdivided-refine, subdivided-state broadcast, bucketed — run
-INTERLEAVED in one
+Protocol (round 4, extended round 5): the five join modes — broadcast,
+shuffle subdivided-refine, its no-prefilter control, subdivided-state
+broadcast, bucketed — run INTERLEAVED in one
 session per level (mode A, B, C, A, B, ...), so host drift hits every
 mode equally, and the reported number is the MEDIAN across cycles with
 min/max dispersion, not a best-of that can cherry-pick a quiet moment.
@@ -242,7 +242,7 @@ side (broadcast cover join, map-only refine) so executor count scales it
 embarrassingly; the shuffle plans add one hash exchange whose partitions
 are uniform in the salted key, so they scale with executors the same way —
 each mode's 2 -> 8 efficiency is the cluster-relevant evidence, and the
-interleaved-median protocol makes the three numbers directly comparable.
+interleaved-median protocol makes the mode numbers directly comparable.
 
 Negative result (round 4, measured): a "pure SQL" PIP refine — crossing-
 parity F.aggregate over a per-region edge-tensor column — ran 9x SLOWER

@@ -572,3 +572,84 @@ def test_repetition_gopher_gate(spark):
     # "buy now" x30 covers 30*7 of the 239 chars
     assert r[0].top_bigram_char_frac == pytest.approx(210 / 239)
     assert r[1].repetition_pass
+
+
+def test_url_canonicalization(spark):
+    from s2geography_spark.operators import webtext
+    cases = [
+        # (raw, expected canonical)
+        (0, "https://Example.COM/a/b?x=1", "https://example.com/a/b?x=1"),
+        (1, "HTTPS://WWW.EXAMPLE.COM:443/a/", "https://example.com/a"),
+        (2, "http://example.com:80/", "http://example.com/"),
+        (3, "http://example.com:8080/a", "http://example.com:8080/a"),
+        (4, "https://u:p@example.com/a", "https://example.com/a"),
+        (5, "https://example.com/a?b=2&a=1#frag", "https://example.com/a?a=1&b=2"),
+        (6, "https://example.com/a?utm_source=x&utm_medium=y",
+            "https://example.com/a"),
+        (7, "https://example.com/a?fbclid=Z&q=hi&gclid=1&ref=nav",
+            "https://example.com/a?q=hi"),
+        (8, "https://example.com", "https://example.com/"),
+        (9, "not a url at all", "not a url at all"),  # passthrough
+        (10, "/relative/path?a=1", "/relative/path?a=1"),  # passthrough
+        (11, "https://example.com/refresh?reference=1",
+             "https://example.com/refresh?reference=1"),  # no prefix FP
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "id long, url string")
+    got = {r.id: r.c for r in
+           df.select("id", webtext.canonical_url("url").alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_registered_domain(spark):
+    from s2geography_spark.operators import webtext
+    cases = [
+        ("example.com", "example.com"),
+        ("a.b.example.com", "example.com"),
+        ("example.co.uk", "example.co.uk"),
+        ("www.sub.example.co.uk", "example.co.uk"),
+        ("localhost", "localhost"),
+        ("example.gov.br", "example.gov.br"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [r.d for r in
+           df.select(webtext.registered_domain("h").alias("d")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_url_dedup_groups(spark):
+    from s2geography_spark.operators import webtext
+    rows = [
+        (1, "https://example.com/a?b=2&a=1"),
+        (2, "HTTPS://WWW.Example.com:443/a/?a=1&utm_source=s&b=2"),
+        (3, "https://example.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    g = {r.canon_url: r for r in webtext.url_dedup_groups(df).collect()}
+    assert g["https://example.com/a?a=1&b=2"].n_docs == 2
+    assert g["https://example.com/a?a=1&b=2"].keep_id == 1
+    assert g["https://example.com/other"].n_docs == 1
+
+
+def test_html_to_text(spark):
+    from s2geography_spark.operators import webtext
+    cases = [
+        (0, "<p>Hello <b>world</b></p>", "Hello world"),
+        (1, "<script>var a = \"<p>no</p>\";</script><p>yes</p>", "yes"),
+        (2, "<style>p { x: '<'; }</style>text", "text"),
+        (3, "a<br>b<BR/>c", "a\nb\nc"),
+        (4, "<!-- <p>hidden</p> -->shown", "shown"),
+        (5, "x &amp;amp; y", "x &amp; y"),  # one-pass decode
+        (6, "A&nbsp;&lt;tag&gt;&quot;q&quot;&#39;s&#39;", "A <tag>\"q\"'s'"),
+        (7, "  lots   of \t spaces  \n\n\n and lines ",
+            "lots of spaces\nand lines"),
+        (8, "<div>a</div><div>b</div>", "a\nb"),
+        (9, "<SCRIPT\nsrc='x'>body</script\n>after", "after"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, h, _ in cases],
+                               "id long, html string")
+    got = {r.id: r.t for r in
+           df.select("id", webtext.html_to_text("html").alias("t")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, repr(got[i]), repr(want))
