@@ -1354,6 +1354,48 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_trigram_char_frac"))
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end C4/Gopher-style keep/drop gate
+    (operators/textstats.corpus_filter): Gopher repetition thresholds +
+    composite quality score >= 0.5 + language-metadata agreement, in one
+    scan-stage projection.  The oracle recomputes every gate from its
+    closed form: the relational n-gram rebuild (as text_repetition), the
+    quality formula (as text_quality), and the stopword-argmax language
+    CASE (as lang_id) — this corpus has single-line documents, so the
+    duplicate-line gates are identically 0 <= threshold on both sides."""
+    from s2geography_spark.operators.textstats import corpus_filter
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang").where(F.col("doc_id") < 400)
+    return corpus_filter(docs, lang_col="lang").select(
+        "doc_id", "repetition_pass", "quality_pass", "lang_match", "keep")
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota (operators/webtext.cap_per_group): keep the top-3
+    documents per host by quality score — the stage that stops one
+    mega-site from dominating a training corpus.  Hosts are synthesized
+    closed-form from doc_id (same moduli as url_canon); ordering is
+    (rounded quality DESC, doc_id) so ranks are a deterministic total
+    order on both engines.  The oracle replays the identical window in
+    DuckDB over the same closed-form host + quality formula."""
+    from s2geography_spark.operators.textstats import quality_score
+    from s2geography_spark.operators.webtext import cap_per_group
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").where(F.col("doc_id") < 600)
+    d = F.col("doc_id")
+    g = (d % 20).cast("string")
+    host = F.when(d % 4 == 0,
+                  F.concat(F.lit("sub.example"), g, F.lit(".co.uk"))) \
+        .otherwise(F.concat(F.lit("example"), g, F.lit(".com")))
+    base = docs.select("doc_id", host.alias("host"),
+                       F.round(quality_score("text"), 6).alias("q_r"))
+    kept = cap_per_group(base, ["host"],
+                         [F.col("q_r").desc(), F.col("doc_id")],
+                         k=3, rank_col="rn")
+    return kept.select("host", "doc_id", "q_r",
+                       F.col("rn").cast("long").alias("rn"))
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup (operators/webtext.py): six
     deterministic messy variants are synthesized per doc_id (scheme/host
@@ -1451,6 +1493,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = ngram_jaccard_pairs(docs, threshold=0.25, max_df=100000)
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise edges: the exact 3-gram Jaccard
+    pairs (same generator as ngram_jaccard) transitively closed into
+    components by the distributed large-star/small-star algorithm
+    (operators/dedup.connected_components — O(log^2 n) shuffle rounds,
+    no driver-side graph state).  The oracle closes the same pair set
+    with a recursive CTE and labels each node with its minimum reachable
+    id, so the iterative Spark contraction is checked against an
+    independent fixpoint construction."""
+    from s2geography_spark.operators.dedup import (dedup_clusters,
+                                                   ngram_jaccard_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.25, max_df=100000)
+    return dedup_clusters(pairs).select("node", "rep", "cluster_size")
 
 
 # Bounded per-query persist registry: the banded self-joins below need a
@@ -1738,10 +1796,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "text_repetition": q_text_repetition,
+        "corpus_filter": q_corpus_filter,
+        "domain_quota": q_domain_quota,
         "url_canon": q_url_canon,
         "html_text": q_html_text,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -1756,6 +1817,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
+
+    # lang-id stopword-hit count expressions, shared by the lang_id and
+    # corpus_filter oracles (ties break to the alphabetically last
+    # language, mirroring array_max over (hits, lang) structs)
+    counts = {
+        lang: " + ".join(
+            f"len(list_filter(toks, x -> x = '{w}'))" for w in words)
+        for lang, words in {
+            "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+            "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+            "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans"],
+            "es": ["el", "la", "los", "que", "y", "es", "una", "por", "con"],
+            "pt": ["o", "a", "os", "que", "e", "um", "uma", "para", "com"],
+        }.items()
+    }
 
     sqls["geo_pip_pairs"] = f"""
         WITH pts AS ({_PTS_SQL}), reg AS ({_REG_SQL})
@@ -2079,6 +2155,149 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN agg1 a1 ON b.doc_id = a1.doc_id
         LEFT JOIN agg2 a2 ON b.doc_id = a2.doc_id
         LEFT JOIN agg3 a3 ON b.doc_id = a3.doc_id
+    """
+
+    # every gate recomputed from its closed form: n-gram repetition
+    # rebuilt relationally, quality from the formula, language from the
+    # stopword-argmax CASE.  Single-line corpus (verified: 0 newlines) ->
+    # the duplicate-line gates are identically 0 on both sides.
+    sqls["corpus_filter"] = rf"""
+        WITH d AS (
+          SELECT doc_id, text, lang,
+                 list_filter(string_split_regex(text, '\s+'),
+                             w -> len(w) > 0) AS ws
+          FROM documents WHERE doc_id < 400),
+        base AS (SELECT doc_id, text, lang, ws, len(ws) AS nw FROM d),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(len(ws) - 1),
+                             i -> ws[i + 1] || ' ' || ws[i + 2])) AS g
+               FROM base WHERE len(ws) >= 2),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        agg2 AS (SELECT doc_id, max(c * len(g)) AS bigc
+                 FROM bc GROUP BY doc_id),
+        tg AS (SELECT doc_id,
+                      unnest(list_transform(range(len(ws) - 2),
+                             i -> ws[i + 1] || ' ' || ws[i + 2]
+                                  || ' ' || ws[i + 3])) AS g
+               FROM base WHERE len(ws) >= 3),
+        tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+        agg3 AS (SELECT doc_id, max(c * len(g)) AS tric
+                 FROM tc GROUP BY doc_id),
+        line AS (
+          SELECT doc_id,
+                 CASE WHEN len(trim(text)) = 0 THEN 0.0
+                      WHEN regexp_matches(trim(text), '(\.\.\.|…)$')
+                      THEN 1.0 ELSE 0.0 END AS ell,
+                 CASE WHEN len(trim(text)) = 0 THEN 0.0
+                      WHEN regexp_matches(trim(text), '^([•‣▪*-])')
+                      THEN 1.0 ELSE 0.0 END AS bul
+          FROM base),
+        rep AS (
+          SELECT b.doc_id,
+                 (b.nw < 50 OR (
+                    COALESCE(a2.bigc * 1.0
+                             / greatest(length(b.text), 1), 0.0) <= 0.20
+                    AND COALESCE(a3.tric * 1.0
+                                 / greatest(length(b.text), 1), 0.0) <= 0.18
+                    AND l.ell <= 0.30 AND l.bul <= 0.90)) AS repetition_pass
+          FROM base b
+          LEFT JOIN agg2 a2 USING (doc_id)
+          LEFT JOIN agg3 a3 USING (doc_id)
+          JOIN line l USING (doc_id)),
+        qt AS (
+          SELECT doc_id, length(text) AS n,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS ntok_mwl,
+                 (length(text) - length(regexp_replace(text,
+                     '[^a-zA-Z0-9_\s]', '', 'g'))) AS punct,
+                 (length(text) - length(regexp_replace(text,
+                     '[0-9]', '', 'g'))) AS digits,
+                 length(regexp_replace(trim(text), '\s+', '', 'g'))
+                   AS tokchars
+          FROM base),
+        qm AS (
+          SELECT doc_id,
+                 ((CASE WHEN n >= 20 AND n <= 20000 THEN 1.0
+                        WHEN n < 20 THEN n / 20.0
+                        ELSE 20000.0 / n END)
+                  + greatest(0.0, 1.0 - (punct / greatest(n, 1)
+                                         + digits / greatest(n, 1)) * 2)
+                  + (CASE WHEN tokchars / greatest(ntok_mwl, 1) >= 3.0
+                          AND tokchars / greatest(ntok_mwl, 1) <= 10.0
+                          THEN 1.0 ELSE 0.5 END)) / 3.0 >= 0.5
+                   AS quality_pass
+          FROM qt),
+        lt AS (
+          SELECT doc_id,
+                 list_transform(regexp_split_to_array(trim(text), '\s+'),
+                     x -> lower(regexp_replace(x, '[^a-zA-Z0-9_]', '',
+                                               'g'))) AS toks
+          FROM base),
+        lc AS (SELECT doc_id,
+                      {counts['en']} AS c_en, {counts['de']} AS c_de,
+                      {counts['fr']} AS c_fr, {counts['es']} AS c_es,
+                      {counts['pt']} AS c_pt
+               FROM lt),
+        lp AS (
+          SELECT doc_id,
+            CASE
+              WHEN c_pt >= c_fr AND c_pt >= c_es AND c_pt >= c_en
+                   AND c_pt >= c_de AND c_pt > 0 THEN 'pt'
+              WHEN c_fr >= c_es AND c_fr >= c_en AND c_fr >= c_de
+                   AND c_fr > 0 THEN 'fr'
+              WHEN c_es >= c_en AND c_es >= c_de AND c_es > 0 THEN 'es'
+              WHEN c_en >= c_de AND c_en > 0 THEN 'en'
+              WHEN c_de > 0 THEN 'de'
+              ELSE 'und'
+            END AS lang_pred
+          FROM lc)
+        SELECT b.doc_id, r.repetition_pass, qm.quality_pass,
+               (lp.lang_pred = b.lang) AS lang_match,
+               (r.repetition_pass AND qm.quality_pass
+                AND lp.lang_pred = b.lang) AS keep
+        FROM base b
+        JOIN rep r USING (doc_id)
+        JOIN qm USING (doc_id)
+        JOIN lp USING (doc_id)
+    """
+
+    # identical window (partition by closed-form host, order by rounded
+    # quality DESC then doc_id) replayed over the quality formula
+    sqls["domain_quota"] = r"""
+        WITH c AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 4 = 0
+                  THEN 'sub.example' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.co.uk'
+                  ELSE 'example' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.com' END) AS host,
+                 round(((CASE WHEN length(text) >= 20
+                              AND length(text) <= 20000 THEN 1.0
+                              WHEN length(text) < 20
+                              THEN length(text) / 20.0
+                              ELSE 20000.0 / length(text) END)
+                   + greatest(0.0, 1.0 -
+                       ((length(text) - length(regexp_replace(text,
+                            '[^a-zA-Z0-9_\s]', '', 'g')))
+                          / greatest(length(text), 1)
+                        + (length(text) - length(regexp_replace(text,
+                            '[0-9]', '', 'g')))
+                          / greatest(length(text), 1)) * 2)
+                   + (CASE WHEN length(regexp_replace(trim(text), '\s+',
+                                                      '', 'g'))
+                           / greatest(len(regexp_split_to_array(
+                                 trim(text), '\s+')), 1) >= 3.0
+                           AND length(regexp_replace(trim(text), '\s+',
+                                                     '', 'g'))
+                           / greatest(len(regexp_split_to_array(
+                                 trim(text), '\s+')), 1) <= 10.0
+                           THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS q_r
+          FROM documents WHERE doc_id < 600),
+        r AS (SELECT host, doc_id, q_r,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY q_r DESC, doc_id) AS rn
+              FROM c)
+        SELECT host, doc_id, q_r, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 3
     """
 
     # the oracle never parses the messy URL: canonical form, host, and
@@ -2744,19 +2963,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    # lang-id: stopword hits per language; ties break to the alphabetically
-    # last language (mirrors array_max over (hits, lang) structs)
-    counts = {
-        lang: " + ".join(
-            f"len(list_filter(toks, x -> x = '{w}'))" for w in words)
-        for lang, words in {
-            "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
-            "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
-            "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans"],
-            "es": ["el", "la", "los", "que", "y", "es", "una", "por", "con"],
-            "pt": ["o", "a", "os", "que", "e", "um", "uma", "para", "com"],
-        }.items()
-    }
+    # lang-id: `counts` (stopword hits per language) is defined at the
+    # top of oracle_sql, shared with corpus_filter
     sqls["lang_id"] = rf"""
         WITH t AS (
           SELECT doc_id,
@@ -2804,6 +3012,45 @@ def oracle_sql() -> dict[str, str]:
         FROM common JOIN sizes sa ON common.a = sa.doc_id
                     JOIN sizes sb ON common.b = sb.doc_id
         WHERE CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) >= 0.25
+    """
+
+    # transitive closure of the SAME jaccard pair set by recursive CTE;
+    # component label = min reachable node — an independent fixpoint
+    # construction checking the engine's large-star/small-star rounds
+    sqls["dedup_clusters"] = r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(regexp_replace(trim(text),
+                     '[^a-zA-Z0-9_\s]', '', 'g')), '\s+') AS t
+          FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+               FROM toks, UNNEST(generate_series(0, len(t)-3)) AS u(i)
+               WHERE len(t) >= 3
+                 AND length(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) > 0),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+                   FROM sh x JOIN sh y
+                     ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2),
+        pairs AS (SELECT a, b
+                  FROM common JOIN sizes sa ON common.a = sa.doc_id
+                              JOIN sizes sb ON common.b = sb.doc_id
+                  WHERE CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) >= 0.25),
+        edges AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        reach AS (
+          SELECT u AS node, v AS r FROM edges
+          UNION
+          SELECT rc.node, e.v FROM reach rc JOIN edges e ON rc.r = e.u
+          WHERE e.v != rc.node
+        ),
+        labels AS (SELECT node, least(node, min(r)) AS rep
+                   FROM reach GROUP BY node),
+        cnt AS (SELECT rep, count(*) AS cluster_size
+                FROM labels GROUP BY rep)
+        SELECT labels.node, labels.rep, cnt.cluster_size
+        FROM labels JOIN cnt USING (rep)
     """
 
     sqls["ann_topk"] = """

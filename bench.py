@@ -276,6 +276,7 @@ def main():
         "text_stats", "lang_id", "dedup_exact", "minhash_lsh", "simhash",
         "ann_topk", "embedding_near_dup", "lineitem_agg", "events_window",
         "events_sessions", "text_quality", "geo_zm_interp", "media_stats",
+        "text_repetition", "url_canon", "html_text",
     ]
     qs = entry_mod.queries()
     # one untimed warmup execution per query: on this JVM the FIRST run of

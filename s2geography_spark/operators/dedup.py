@@ -556,3 +556,100 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                      F.greatest("_ida", "_idb").alias("b"),
                      F.col("hamming")))
     return same.unionByName(cross)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (dedup clustering)
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components of an undirected edge list: one row per node
+    with its component representative (the minimum node id reachable).
+
+    Near-dup pair generators (MinHash/SimHash/Jaccard) emit PAIRS; a
+    dedup pipeline needs CLUSTERS — transitively closed groups with one
+    keeper each.  This is the alternating large-star / small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): each round contracts the graph toward stars rooted at
+    component minima and converges in O(log^2 n) rounds even for
+    path-shaped graphs (single-link chains DO happen under LSH), vs the
+    O(diameter) rounds of naive label propagation.  Each round is two
+    groupBy/join stages keyed on node id — plain shuffles, no driver-side
+    graph state, so the edge list can be arbitrarily larger than any one
+    executor.  Lineage is truncated with localCheckpoint every round
+    (iterative plans otherwise grow exponentially in Catalyst).
+
+    Convergence test: total edge count plus an order-insensitive
+    bit_xor of xxhash64 over the edge set (the edges are distinct, so
+    xor is a set checksum; xor cannot overflow under ANSI arithmetic,
+    unlike sum) — one cheap aggregate per round instead of a full
+    anti-join of consecutive states.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v")))
+    # orient (big, small): the star algorithms keep edges pointing from
+    # each node toward a smaller neighbor
+    e = e.select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v")).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    def _sig(df) -> tuple:
+        r = df.agg(F.count("*").alias("n"),
+                   F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
+        return (r.n, r.h)
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u links to u's minimum m
+        # (neighbors-or-self); operates on the SYMMETRIZED view
+        sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        e = (sym.where(F.col("v") > F.col("u"))
+             .join(mins, "u")
+             .where(F.col("v") != F.col("m"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .distinct())
+        # small-star: every node relinks its smaller-or-equal neighbors
+        # to their collective minimum
+        mins = e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        e = (e.join(mins, "u")
+             .select(F.col("u"), F.col("v"), F.col("m"))
+             .select(F.explode(F.array(
+                 F.struct(F.col("u").alias("x"), F.col("m").alias("y")),
+                 F.struct(F.col("v").alias("x"), F.col("m").alias("y"))))
+                 .alias("p"))
+             .select(F.col("p.x").alias("u"), F.col("p.y").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+             .distinct())
+        e = e.localCheckpoint(eager=True)
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in "
+                           f"{max_iter} rounds")
+    # converged state is a set of stars (node -> root); roots label
+    # themselves
+    nodes = (edges.select(F.col(src).cast("long").alias("node"))
+             .unionByName(edges.select(F.col(dst).cast("long")
+                                       .alias("node"))).distinct())
+    lab = e.select(F.col("u").alias("node"), F.col("v").alias("rep"))
+    return (nodes.join(lab, "node", "left")
+            .select("node", F.coalesce("rep", "node").alias("rep")))
+
+
+def dedup_clusters(edges: DataFrame, src: str = "a", dst: str = "b",
+                   max_iter: int = 50) -> DataFrame:
+    """Cluster view of connected_components: (node, rep, cluster_size),
+    the shape a dedup stage consumes (keep rep, drop the rest)."""
+    cc = connected_components(edges, src, dst, max_iter)
+    sizes = cc.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "rep").select("node", "rep", "cluster_size")

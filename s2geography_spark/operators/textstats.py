@@ -308,3 +308,26 @@ def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
             .withColumn("lang_pred", lang_id(text))
             .withColumn("quality", quality_score(text))
             .withColumn("fingerprint", fingerprint(text)))
+
+
+def corpus_filter(df: DataFrame, text: str = "text",
+                  lang_col: str | None = None,
+                  min_quality: float = 0.5) -> DataFrame:
+    """The end-to-end C4/Gopher-style keep/drop gate, composed from the
+    pure-Column metrics above: repetition_pass (Gopher repetition
+    thresholds), quality_pass (composite score >= min_quality), and —
+    when the corpus carries a language column — lang_match (the n-gram
+    language prediction agrees with the recorded metadata; disagreement
+    usually means boilerplate or mixed-language spam).  Adds the gate
+    booleans and `keep`; downstream is a plain `.where("keep")`, so the
+    whole filter is one scan-stage projection plus the single Arrow pass
+    of repetition_stats."""
+    out = with_repetition_stats(df, text)
+    out = out.withColumn("quality_pass",
+                         quality_score(text) >= F.lit(min_quality))
+    keep = F.col("repetition_pass") & F.col("quality_pass")
+    if lang_col is not None:
+        out = out.withColumn("lang_match",
+                             lang_id(text) == F.col(lang_col))
+        keep = keep & F.col("lang_match")
+    return out.withColumn("keep", keep)

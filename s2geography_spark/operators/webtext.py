@@ -180,6 +180,29 @@ def html_to_text(html):
     return F.array_join(F.filter(lines, lambda x: F.length(x) > 0), "\n")
 
 
+def cap_per_group(df: DataFrame, keys, order_by, k: int,
+                  rank_col: str | None = None) -> DataFrame:
+    """Keep at most k rows per group — the per-domain quota stage every
+    crawl pipeline runs so one mega-site cannot dominate the corpus.
+
+    One shuffle on the group key + a per-group sort bounded by the
+    group's own size (window row_number, no global sort).  `order_by`
+    must be a DETERMINISTIC total order (tie-break on a unique id) or
+    reruns keep different rows.  Skew note: a single giant domain lands
+    on one partition for its sort; with k small the right scale fix is a
+    two-phase cap (cap at k per PARTITION pre-shuffle — cheap, preserves
+    correctness since the per-partition top-k is a superset of each
+    group's global top-k — then the exact window on the survivors).
+    """
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    out = df.withColumn("_rn", F.row_number().over(w)) \
+        .where(F.col("_rn") <= int(k))
+    if rank_col:
+        return out.withColumnRenamed("_rn", rank_col)
+    return out.drop("_rn")
+
+
 def url_dedup_groups(df: DataFrame, url: str = "url",
                      id_col: str = "doc_id") -> DataFrame:
     """Group rows by canonical URL: one row per group with the member

@@ -64,6 +64,10 @@ def main():
         """What to verify:
 - `Generate explode` of point ancestor cells and of the salted dim —
   the salt replicates the SMALL side only.
+- A `BroadcastHashJoin ... LeftSemi` BEFORE the fact-side Exchange: the
+  dim's distinct cell-key set (8 B/cell) broadcasts and drops fact rows
+  that can match no covering cell, so they never shuffle (round-5
+  runtime semi-join prefilter; map-side, does not add an exchange).
 - `SortMergeJoin`/`ShuffledHashJoin` keyed on (_ck, _salt): the hot-cell
   skew is split 4 ways; AQE skew-join covers residual imbalance.""",
         plan_of(joined2.select("c_custkey", "region_id"))))

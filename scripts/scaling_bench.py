@@ -4,15 +4,21 @@ No real cluster exists in this sandbox, so per BASELINE.md the N -> 4N
 executor criterion is evidenced by running the identical flagship spatial
 join (the BASELINE.json metric: cover + PIP refine) at several local[N]
 parallelism levels on the same pre-materialized input, reporting throughput
-at each and the N->4N scaling efficiency.  Each level runs in its own
-subprocess (a JVM's local master is fixed at startup).
+at each and the N->4N scaling efficiency.
 
-Protocol (round 4, extended round 5): the five join modes — broadcast,
-shuffle subdivided-refine, its no-prefilter control, subdivided-state
-broadcast, bucketed — run INTERLEAVED in one
-session per level (mode A, B, C, A, B, ...), so host drift hits every
-mode equally, and the reported number is the MEDIAN across cycles with
-min/max dispersion, not a best-of that can cherry-pick a quiet moment.
+Protocol (round 5, third revision): five join modes x three parallelism
+levels, interleaved at SINGLE-REP granularity across three PERSISTENT
+child sessions (a JVM's local master is fixed at startup, so each level
+keeps its own child alive and the parent round-robins one rep at a time:
+mode m at local[2], then m at local[8], then m at local[32], next mode,
+next cycle).  Earlier revisions interleaved modes but ran the levels
+sequentially — a host-load spike lasting one child's lifetime poisoned
+exactly one level and flipped the efficiency ratios by 2x between runs
+(observed on this time-shared box: the same 8-core broadcast median was
+5.6 s, 6.4 s, and 13.1 s in three back-to-back sessions).  With rep-level
+interleaving every (mode, level) cell samples the same minutes of host
+weather, so the MEDIAN across cycles compares like with like.  Dispersion
+(min-max) is reported per cell.
 
 Writes BENCH/BASELINE.md + BENCH/scaling.json and prints a JSON summary.
 """
@@ -21,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -36,18 +43,18 @@ materialize_mentions(spark, {pages}, {path!r})
 print("RESULT ok")
 """
 
-# one child per parallelism level: all three modes interleaved, medians out.
-# The bucketed table is (re)created inside the child (Spark's default
-# in-memory catalog does not survive across sessions); creation is untimed.
+# one PERSISTENT child per parallelism level: sets up, warms up each mode
+# once, then executes one rep per stdin command and reports the wall time.
 CHILD = """
-import json, statistics, sys
+import json, sys
 sys.path.insert(0, {repo!r})
 from s2geography_spark.session import get_spark
 from bench import (materialize_mentions_bucketed, run_join_bench,
                    run_join_bench_bucketed, run_join_bench_shuffle)
 spark = get_spark("scaling", cpus={cpus})
-spark.sql("DROP TABLE IF EXISTS mentions_bkt_scaling_l8")
-materialize_mentions_bucketed(spark, {sh_pages}, "mentions_bkt_scaling_l8")
+tbl = "mentions_bkt_scaling_l8_c{cpus}"
+spark.sql(f"DROP TABLE IF EXISTS {{tbl}}")
+materialize_mentions_bucketed(spark, {sh_pages}, tbl)
 modes = {{
     "broadcast": lambda: run_join_bench(spark, {path!r}),
     "shuffle": lambda: run_join_bench_shuffle(spark, {sh_path!r}),
@@ -55,25 +62,17 @@ modes = {{
         spark, {sh_path!r}, prefilter=False),
     "state_bcast": lambda: run_join_bench_shuffle(
         spark, {sh_path!r}, refine_mode="subdivided_broadcast"),
-    "bucketed": lambda: run_join_bench_bucketed(spark, "mentions_bkt_scaling_l8"),
+    "bucketed": lambda: run_join_bench_bucketed(spark, tbl),
 }}
 for fn in modes.values():
     fn()  # warm-up: workers, caches, codegen
-times = {{k: [] for k in modes}}
-meta = {{}}
-for rep in range({reps}):
-    for k, fn in modes.items():
-        ri, ro, dt = fn()
-        times[k].append(dt)
-        meta[k] = (ri, ro)
-out = {{}}
-for k, v in times.items():
-    med = statistics.median(v)
-    out[k] = {{"cpus": {cpus}, "mentions": meta[k][0], "out": meta[k][1],
-               "sec": round(med, 3), "sec_min": round(min(v), 3),
-               "sec_max": round(max(v), 3),
-               "rows_per_sec": round(meta[k][0] / med, 1)}}
-print("RESULT " + json.dumps(out))
+print("READY", flush=True)
+for line in sys.stdin:
+    mode = line.strip()
+    if not mode or mode == "quit":
+        break
+    ri, ro, dt = modes[mode]()
+    print("RESULT " + json.dumps([mode, ri, ro, dt]), flush=True)
 """
 
 
@@ -88,6 +87,44 @@ def run(code: str, timeout=3600) -> str:
 
 MODES = ("broadcast", "shuffle", "shuffle_nofilter", "state_bcast",
          "bucketed")
+LEVELS = (2, 8, 32)
+
+
+class Child:
+    def __init__(self, cpus: int, path: str, sh_path: str, sh_pages: int):
+        self.cpus = cpus
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", CHILD.format(
+                repo=REPO, cpus=cpus, path=path, sh_path=sh_path,
+                sh_pages=sh_pages)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=REPO)
+
+    def _read_line(self, prefix: str) -> str:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"child local[{self.cpus}] died")
+            if line.startswith(prefix):
+                return line[len(prefix):].strip()
+
+    def wait_ready(self):
+        self._read_line("READY")
+
+    def run_rep(self, mode: str) -> tuple:
+        self.proc.stdin.write(mode + "\n")
+        self.proc.stdin.flush()
+        mode_, ri, ro, dt = json.loads(self._read_line("RESULT "))
+        assert mode_ == mode
+        return ri, ro, dt
+
+    def quit(self):
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
 
 
 def main():
@@ -95,15 +132,37 @@ def main():
     sh_pages = int(os.environ.get("SCALING_PAGES_SHUFFLE", "32000000"))
     path = os.environ.get("SCALING_PATH", "/tmp/mentions_bench_xxl")
     sh_path = os.environ.get("SCALING_PATH_SHUFFLE", "/tmp/mentions_bench_sh")
-    reps = int(os.environ.get("SCALING_REPS", "5"))
+    reps = int(os.environ.get("SCALING_REPS", "7"))
     run(PREP.format(repo=REPO, pages=pages, path=path), timeout=1200)
     run(PREP.format(repo=REPO, pages=sh_pages, path=sh_path), timeout=1200)
 
+    children = {c: Child(c, path, sh_path, sh_pages) for c in LEVELS}
+    for c in LEVELS:
+        children[c].wait_ready()
+
+    times = {m: {c: [] for c in LEVELS} for m in MODES}
+    meta = {m: {c: None for c in LEVELS} for m in MODES}
+    for rep in range(reps):
+        for m in MODES:
+            for c in LEVELS:
+                ri, ro, dt = children[c].run_rep(m)
+                times[m][c].append(dt)
+                meta[m][c] = (ri, ro)
+        print(f"cycle {rep + 1}/{reps} done", file=sys.stderr)
+    for c in LEVELS:
+        children[c].quit()
+
     levels = {}
-    for cpus in (2, 8, 32):
-        levels[cpus] = json.loads(run(CHILD.format(
-            repo=REPO, cpus=cpus, path=path, sh_path=sh_path,
-            sh_pages=sh_pages, reps=reps)))
+    for c in LEVELS:
+        levels[c] = {}
+        for m in MODES:
+            v = times[m][c]
+            med = statistics.median(v)
+            levels[c][m] = {
+                "cpus": c, "mentions": meta[m][c][0], "out": meta[m][c][1],
+                "sec": round(med, 3), "sec_min": round(min(v), 3),
+                "sec_max": round(max(v), 3),
+                "rows_per_sec": round(meta[m][c][0] / med, 1)}
 
     def eff(mode, lo, hi):
         return round((levels[hi][mode]["rows_per_sec"]
@@ -113,13 +172,14 @@ def main():
         "input_pages": pages,
         "shuffle_input_pages": sh_pages,
         "reps_per_mode": reps,
-        "protocol": "modes interleaved per session; median of reps",
+        "protocol": ("modes x levels interleaved at single-rep granularity "
+                     "across persistent per-level sessions; median of reps"),
         "mentions": levels[8]["broadcast"]["mentions"],
         "join_rows_out": levels[8]["broadcast"]["out"],
         "target": ">= 0.8 for N -> 4N",
     }
     for m in MODES:
-        summary[f"{m}_levels"] = {c: levels[c][m] for c in (2, 8, 32)}
+        summary[f"{m}_levels"] = {c: levels[c][m] for c in LEVELS}
         summary[f"{m}_scaling_efficiency_2_to_8"] = eff(m, 2, 8)
         summary[f"{m}_scaling_efficiency_8_to_32"] = eff(m, 8, 32)
     print(json.dumps(summary, indent=1))
@@ -129,18 +189,24 @@ def main():
             f"| local[{c}] | {levels[c][mode]['sec']} "
             f"({levels[c][mode]['sec_min']}-{levels[c][mode]['sec_max']}) "
             f"| {levels[c][mode]['rows_per_sec']:,.0f} |"
-            for c in (2, 8, 32))
+            for c in LEVELS)
 
     md = f"""# BENCH/BASELINE — measured engine numbers
 
 ## Protocol
 
-All five join modes run INTERLEAVED in a single session per parallelism
-level (A, B, C, A, B, ... x {reps} cycles after one warm-up cycle), so
-host drift hits every mode equally.  Reported wall time is the MEDIAN
-across cycles with (min-max) dispersion.  Inputs: broadcast mode scans
-{pages:,} pages -> {levels[8]['broadcast']['mentions']:,} mentions; the
-two shuffle-family modes scan {sh_pages:,} pages ->
+Five join modes x three parallelism levels, interleaved at SINGLE-REP
+granularity across three persistent sessions (one JVM per local[N]
+level; the parent round-robins mode m at local[2], local[8], local[32],
+then the next mode, x {reps} cycles after one untimed warm-up of every
+mode in every session).  This box is time-shared: level-sequential
+sessions let one load spike poison a single level (observed 2x swings in
+the same cell between back-to-back runs), while rep-level interleaving
+makes every (mode, level) cell sample the same minutes of host weather.
+Reported wall time is the MEDIAN across cycles with (min-max)
+dispersion.  Inputs: broadcast mode scans {pages:,} pages ->
+{levels[8]['broadcast']['mentions']:,} mentions; the shuffle-family
+modes scan {sh_pages:,} pages ->
 {levels[8]['shuffle']['mentions']:,} mentions; 96 regions; output row
 counts identical at every level (correctness cross-check).
 
@@ -180,13 +246,14 @@ dim's DISTINCT cell-key set (8 B/cell) broadcasts and left-semi filters
 the fact side BEFORE its exchange, so the ~94% of fact rows that fall in
 no covering cell never shuffle.  The control below is the identical join
 with `prefilter=False` (the round-4 configuration).  The prefiltered
-join is ~3x faster at EVERY parallelism level; its efficiency RATIO is
-lower only because what remains is dominated by the parquet scan, which
-on this one-box sandbox is capped by the shared memory bus (see
-Analysis) — Amdahl on the scan floor, not a scaling regression.  On a
-real cluster the scan scales with executors (each node brings its own
-disks and memory bus), so the prefiltered absolute win carries over
-without the ratio penalty.
+join is ~2-4x faster at cluster-relevant parallelism (2-8 cores; at 32
+the whole host is bandwidth-saturated and every mode converges on the
+same floor).  Its efficiency RATIO is lower only because what remains is
+dominated by the parquet scan, which on this one-box sandbox is capped
+by the shared memory bus (see Analysis) — Amdahl on the scan floor, not
+a scaling regression.  On a real cluster the scan scales with executors
+(each node brings its own disks and memory bus), so the prefiltered
+absolute win carries over without the ratio penalty.
 
 | parallelism | wall sec (min-max) | join rows/sec |
 |---|---|---|

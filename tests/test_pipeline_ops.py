@@ -653,3 +653,66 @@ def test_html_to_text(spark):
            df.select("id", webtext.html_to_text("html").alias("t")).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, repr(got[i]), repr(want))
+
+
+def test_connected_components_shapes(spark):
+    # a 12-node path (worst case for label propagation, exercises
+    # multiple star rounds), a triangle, a pair, and a "bowtie" joined
+    # through one shared node
+    path = [(i, i + 1) for i in range(100, 111)]
+    tri = [(200, 201), (201, 202), (200, 202)]
+    pair = [(300, 301)]
+    bowtie = [(400, 401), (401, 402), (402, 400),
+              (402, 403), (403, 404), (404, 402)]
+    edges = spark.createDataFrame(path + tri + pair + bowtie,
+                                  "a long, b long")
+    got = {r.node: (r.rep, r.cluster_size)
+           for r in dedup.dedup_clusters(edges).collect()}
+    assert all(got[n] == (100, 12) for n in range(100, 112))
+    assert all(got[n] == (200, 3) for n in (200, 201, 202))
+    assert got[300] == (300, 2) and got[301] == (300, 2)
+    assert all(got[n] == (400, 5) for n in range(400, 405))
+    assert len(got) == 22
+
+
+def test_connected_components_reversed_and_dup_edges(spark):
+    # duplicate edges in both orientations must not distort sizes
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 5), (5, 3), (1, 5)], "a long, b long")
+    got = {r.node: (r.rep, r.cluster_size)
+           for r in dedup.dedup_clusters(edges).collect()}
+    assert got == {1: (1, 3), 3: (1, 3), 5: (1, 3)}
+
+
+def test_corpus_filter_gates(spark):
+    spam = " ".join(["buy now"] * 40)           # fails repetition
+    noisy = "!!!" * 5     # fails quality: short AND all punctuation
+    # >= 50 words (repetition gates apply), varied vocabulary, heavy
+    # English stopwords, low punctuation
+    good_en = ("the cat and a dog ran to the old house of a friend "
+               "that is known for all with everyone around here "
+               + " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12)))
+    df = spark.createDataFrame(
+        [(0, spam, "en"), (1, noisy, "en"), (2, good_en, "en"),
+         (3, good_en, "de")],
+        "doc_id long, text string, lang string")
+    r = {x.doc_id: x for x in
+         textstats.corpus_filter(df, lang_col="lang").collect()}
+    assert not r[0].repetition_pass and not r[0].keep
+    assert not r[1].quality_pass and not r[1].keep
+    assert r[2].repetition_pass and r[2].quality_pass and r[2].lang_match
+    assert r[2].keep
+    assert not r[3].lang_match and not r[3].keep  # en text, de metadata
+
+
+def test_cap_per_group(spark):
+    from s2geography_spark.operators import webtext
+    rows = [("a", 1, 0.9), ("a", 2, 0.5), ("a", 3, 0.9), ("a", 4, 0.1),
+            ("b", 5, 0.3)]
+    df = spark.createDataFrame(rows, "host string, doc_id long, q double")
+    kept = webtext.cap_per_group(
+        df, ["host"], [F.col("q").desc(), F.col("doc_id")], k=2,
+        rank_col="rn").collect()
+    got = {(r.host, r.doc_id): r.rn for r in kept}
+    # ties on q break by doc_id: 1 before 3
+    assert got == {("a", 1): 1, ("a", 3): 2, ("b", 5): 1}
