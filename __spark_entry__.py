@@ -202,6 +202,31 @@ def q_geo_s2_tiles_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("b.j_blk").alias("j_blk"), "n")
 
 
+def q_vector_tiles_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile <-> vector assignment per zoom level (the north-star
+    phrase): one row per (region polygon, z/x/y Web-Mercator tile) the
+    region covers at zoom 6 — operators/tiles.vector_tile_coverage.
+
+    The candidate stage here runs on the INGEST-PERSISTED bbox columns
+    (exact integers, pure Column math end-to-end: sequence + explode,
+    no Python until the refine), the 100 TB pattern mirroring the
+    embedded leaf cell.  refine=True exercises the spherical
+    s2_intersectsbox kernel on every candidate; for these
+    parallel/meridian-aligned rectangles the refine provably keeps all
+    candidates (every candidate tile overlaps the bbox with positive
+    area), which is what makes the DuckDB closed form exact: the oracle
+    recomputes the tile ranges from the corner arithmetic with the
+    identical slippy-map floor formulas.  Concave features (where the
+    refine must REJECT bbox corners) are covered by
+    tests/test_pipeline_ops.py::test_vector_tile_coverage_concave."""
+    from s2geography_spark.operators.tiles import vector_tile_coverage
+    regs = _regions(spark).select("region_id", "lng0", "lat0",
+                                  "lng1", "lat1", "geog")
+    cov = vector_tile_coverage(regs, 6,
+                               bbox=("lng0", "lat0", "lng1", "lat1"))
+    return cov.select("region_id", "z", "x", "y")
+
+
 def q_geo_bbox_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation bounding box via the MERGEABLE bbox aggregate
     (coverings.cc:274-301 struct semantics): pure-Column min/max partials
@@ -1758,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_nation": q_geo_centroid_nation,
         "geo_tiles_z8": q_geo_tiles_z8,
         "geo_s2_tiles_l8": q_geo_s2_tiles_l8,
+        "vector_tiles_z6": q_vector_tiles_z6,
         "geo_bbox_nation": q_geo_bbox_nation,
         "geo_overlap_area": q_geo_overlap_area,
         "geo_overlay_adjacent": q_geo_overlay_adjacent,
@@ -2867,6 +2893,31 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS shared_km,
                CAST(1 AS INT) AS inter_dim
         FROM ({_REG_SQL})
+    """
+
+    # polygon -> z/x/y tile coverage: tile ranges recomputed from the
+    # region corner arithmetic with the same slippy-map floor formulas
+    # (Mercator is monotone per axis, so corner tiles bound the range;
+    # corners sit >= 0.02 deg from every non-equator tile boundary, so
+    # 1-ulp libm differences cannot flip a floor)
+    sqls["vector_tiles_z6"] = f"""
+        WITH reg AS ({_REG_SQL}),
+        t AS (SELECT region_id,
+                CAST(floor((lng0 + 180.0) / 360.0 * 64.0) AS BIGINT) AS x0,
+                CAST(floor((lng1 + 180.0) / 360.0 * 64.0) AS BIGINT) AS x1,
+                CAST(floor((1.0 - ln(tan(radians(lat1))
+                     + 1.0/cos(radians(lat1))) / pi()) / 2.0 * 64.0)
+                     AS BIGINT) AS y0,
+                CAST(floor((1.0 - ln(tan(radians(lat0))
+                     + 1.0/cos(radians(lat0))) / pi()) / 2.0 * 64.0)
+                     AS BIGINT) AS y1
+              FROM reg),
+        nums AS (SELECT unnest(generate_series(0, 63)) AS i)
+        SELECT region_id, CAST(6 AS BIGINT) AS z,
+               CAST(nx.i AS BIGINT) AS x, CAST(ny.i AS BIGINT) AS y
+        FROM t
+        JOIN nums nx ON nx.i BETWEEN t.x0 AND t.x1
+        JOIN nums ny ON ny.i BETWEEN t.y0 AND t.y1
     """
 
     # level-8 S2 tiles: the engine decodes its Hilbert cell ids back to

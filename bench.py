@@ -194,6 +194,38 @@ def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4,
     return int(rows_in), rows_out, dt
 
 
+def materialize_mentions_dense(spark, n_pages: int, path: str):
+    """Geo-DENSE corpus: only the mentions whose level-8 ancestor cell lies
+    in the 96-region covering set (a broadcast left-semi at ingest — pure
+    Column bit math on the stored leaf, no shuffle, no Python).
+
+    This is the adversarial input for the SHUFFLE join: the runtime
+    semi-join prefilter removes ~nothing, so ~every scanned row rides the
+    hash exchange and the PIP refine.  Real 100 TB corpora of this shape
+    exist — GPS traces, check-ins, geotagged media — facts cluster where
+    the dim covers.  The sparse web corpus measures the prefilter's win;
+    this one measures how the exchange+refine machinery itself scales,
+    which is what executor count buys on a real cluster."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pyspark.sql import functions as F
+        from s2geography_spark.functions.cells import (cell_join_key,
+                                                       cell_parent)
+        from s2geography_spark.operators.spatial_join import leaf_cell_udf
+        from s2geography_spark.sources.pages import (extract_mentions,
+                                                     gazetteer_df, pages_df)
+        from s2geography_spark.sources.regions import regions_df
+        m = extract_mentions(pages_df(spark, n_pages), gazetteer_df(spark))
+        m = m.withColumn("leaf", leaf_cell_udf(F.col("lng"), F.col("lat")))
+        cov = (regions_df(spark, 96, covering_level=8)
+               .select(F.explode("covering").alias("_c"))
+               .select(cell_join_key(F.col("_c")).alias("_ckf")).distinct())
+        m = m.join(F.broadcast(cov),
+                   cell_join_key(cell_parent(F.col("leaf"), 8))
+                   == cov["_ckf"], "left_semi")
+        m.write.mode("overwrite").parquet(path)
+    return path
+
+
 def materialize_mentions_cellcenter(spark, n_pages: int, path: str):
     """CELL_CENTER compact corpus (the reference's >= level-23 tagged
     point encoding): the ONLY fact column is the 8 B leaf cell id —
@@ -276,7 +308,7 @@ def main():
         "text_stats", "lang_id", "dedup_exact", "minhash_lsh", "simhash",
         "ann_topk", "embedding_near_dup", "lineitem_agg", "events_window",
         "events_sessions", "text_quality", "geo_zm_interp", "media_stats",
-        "text_repetition", "url_canon", "html_text",
+        "text_repetition", "url_canon", "html_text", "vector_tiles_z6",
     ]
     qs = entry_mod.queries()
     # one untimed warmup execution per query: on this JVM the FIRST run of

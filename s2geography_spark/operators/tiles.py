@@ -169,3 +169,114 @@ def cell_face_block_udf(level: int):
                              "i_blk": i >> shift, "j_blk": j >> shift})
 
     return udf
+
+
+# ---------------------------------------------------------------------------
+# Raster-tile <-> vector assignment (polygon/polyline -> z/x/y coverage)
+# ---------------------------------------------------------------------------
+
+def _tile_y_of_lat(lat, zoom: int):
+    """Web-Mercator tile row of a latitude (same formula as
+    xyz_tile_columns, factored for reuse on bbox corners)."""
+    n = float(1 << zoom)
+    lat_c = F.greatest(F.least(lat, F.lit(MAX_MERCATOR_LAT)),
+                       F.lit(-MAX_MERCATOR_LAT))
+    lat_rad = F.radians(lat_c)
+    y = F.floor((F.lit(1.0) - F.log(F.tan(lat_rad)
+                                    + F.lit(1.0) / F.cos(lat_rad))
+                 / F.lit(math.pi)) / F.lit(2.0) * F.lit(n))
+    return F.greatest(F.least(y, F.lit(int(n) - 1)), F.lit(0)).cast("long")
+
+
+def _tile_x_of_lng(lng, zoom: int):
+    n = float(1 << zoom)
+    x = F.floor((lng + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    return F.greatest(F.least(x, F.lit(int(n) - 1)), F.lit(0)).cast("long")
+
+
+def vector_tile_coverage(df: DataFrame, zoom: int, *, geog: str = "geog",
+                         bbox=None, refine: bool = True,
+                         max_tiles_per_feature: int = 65536) -> DataFrame:
+    """Raster-tile <-> vector assignment at one zoom: one output row per
+    (feature row, z/x/y tile) the feature covers — the polygon/polyline
+    counterpart of `assign_tiles` (which is point -> single tile).
+
+    Semantics: half-open slippy-map rasterization — each point of the
+    feature maps to exactly one tile per zoom (a tile owns its west and
+    north edges), and the feature covers the union of its points' tiles.
+
+    Two-phase, mirroring the spatial join's candidates -> refine design:
+
+    1. CANDIDATES in pure Column math (JVM whole-stage codegen, no
+       Python): the Mercator transform is monotone in each axis, so the
+       feature bbox's corner tiles bound its tile rectangle exactly;
+       x/y index ranges come from F.sequence + explode.  An
+       antimeridian-crossing bbox (xmin > xmax) splits into two x-runs.
+       Cost is O(bbox tiles) per feature BEFORE any Python, so the
+       explode stays proportional to output size.
+    2. REFINE (exact, vectorized Arrow batch): keep candidates whose
+       tile rectangle spherically intersects the feature
+       (s2_intersectsbox — tile edges tessellated along parallels).
+       For features that fill their bbox rows/columns (rectangles,
+       meridian/parallel-aligned shapes) phase 1 is already exact and
+       `refine=False` skips the Python stage entirely; concave or
+       diagonal features need the refine to drop empty bbox corners.
+
+    At scale: map-only (no shuffle) — candidates explode inside the scan
+    stage and the refine is a projection, so the operator composes with
+    any downstream groupBy("z", "x", "y") tile rollup, which then
+    shuffles ALREADY-FILTERED rows.  A planet-wide feature at high zoom
+    would explode to n^2 tiles; `max_tiles_per_feature` fails loudly
+    (F.raise_error, not a silent cap) steering such dims to S2 coverings.
+
+    bbox: None computes it from `geog` via the st_boundingbox kernel; or
+    pass a (xmin, ymin, xmax, ymax) column-name 4-tuple to keep the whole
+    candidate stage Python-free (the 100 TB path: bbox persisted at
+    ingest like the embedded leaf cell).
+    """
+    from ..functions import geo as G
+
+    n = 1 << zoom
+    if bbox is None:
+        df = df.withColumn("_bb", G.st_boundingbox(F.col(geog)))
+        xmin, ymin = F.col("_bb.xmin"), F.col("_bb.ymin")
+        xmax, ymax = F.col("_bb.xmax"), F.col("_bb.ymax")
+    else:
+        xmin, ymin, xmax, ymax = (F.col(c) for c in bbox)
+
+    x0, x1 = _tile_x_of_lng(xmin, zoom), _tile_x_of_lng(xmax, zoom)
+    # north edge (ymax) has the SMALLER tile row
+    y0, y1 = _tile_y_of_lat(ymax, zoom), _tile_y_of_lat(ymin, zoom)
+    xs = F.when(xmin <= xmax, F.sequence(x0, x1)) \
+        .otherwise(F.concat(F.sequence(x0, F.lit(n - 1)),
+                            F.sequence(F.lit(0), x1)))
+    n_tiles = F.size(xs).cast("long") * (y1 - y0 + F.lit(1))
+    # guard as a WHERE, not an unused projection (Catalyst would prune a
+    # dead column and never evaluate the raise_error)
+    guard = F.when(
+        n_tiles > max_tiles_per_feature,
+        F.raise_error(F.concat(
+            F.lit(f"vector_tile_coverage: feature covers > "
+                  f"{max_tiles_per_feature} tiles at zoom {zoom}; "
+                  f"use an S2 covering for planet-scale features "
+                  f"(n_tiles="), n_tiles.cast("string"), F.lit(")")))
+    ).otherwise(F.lit(True))
+    out = (df.where(guard)
+           .withColumn("x", F.explode(xs))
+           .withColumn("y", F.explode(F.sequence(y0, y1)))
+           .withColumn("z", F.lit(zoom).cast("long")))
+    if refine:
+        inv = 1 << zoom  # tile bounds back to lnglat for the exact test
+        lng_w = F.col("x").cast("double") / inv * 360.0 - 180.0
+        lng_e = (F.col("x") + 1).cast("double") / inv * 360.0 - 180.0
+        pi = math.pi
+        lat_n = F.degrees(F.atan(F.sinh(
+            F.lit(pi) * (F.lit(1.0) - F.col("y").cast("double")
+                         * F.lit(2.0 / inv)))))
+        lat_s = F.degrees(F.atan(F.sinh(
+            F.lit(pi) * (F.lit(1.0) - (F.col("y") + 1).cast("double")
+                         * F.lit(2.0 / inv)))))
+        out = out.where(G.s2_intersectsbox(
+            F.col(geog), lng_w, lat_s, lng_e, lat_n))
+    drop = ["_bb"] if bbox is None else []
+    return out.drop(*drop)

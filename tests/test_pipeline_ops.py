@@ -716,3 +716,56 @@ def test_cap_per_group(spark):
     got = {(r.host, r.doc_id): r.rn for r in kept}
     # ties on q break by doc_id: 1 before 3
     assert got == {("a", 1): 1, ("a", 3): 2, ("b", 5): 1}
+
+
+def _wkb_poly(ring):
+    from s2geography_spark.core.geog import Geog, to_wkb
+    return bytearray(to_wkb(Geog(polys=[[np.array(ring, dtype=float)]])))
+
+
+def test_vector_tile_coverage_concave(spark):
+    # L-shape: (-40,-40)-(40,40) square minus its NE quadrant.  bbox spans
+    # x 3..4 / y 2..5 at zoom 3 (row 2 via the real geodesic bulge of the
+    # lat-40 chord); the empty NE bbox corner (4,2) must be refined away.
+    L = _wkb_poly([[-40, -40], [40, -40], [40, 0], [0, 0],
+                   [0, 40], [-40, 40], [-40, -40]])
+    df = spark.createDataFrame([(1, L)], "fid long, geog binary")
+    got = {(r.x, r.y) for r in tiles.vector_tile_coverage(df, 3).collect()}
+    assert got == {(3, 2), (3, 3), (3, 4), (3, 5), (4, 3), (4, 4), (4, 5)}
+    # without the refine the empty corner stays
+    raw = {(r.x, r.y)
+           for r in tiles.vector_tile_coverage(df, 3, refine=False).collect()}
+    assert raw - got == {(4, 2)}
+
+
+def test_vector_tile_coverage_antimeridian(spark):
+    # box crossing the antimeridian: xmin > xmax splits into two x-runs
+    df = spark.createDataFrame(
+        [(1, _wkb_poly([[170, -5], [-170, -5], [-170, 5],
+                        [170, 5], [170, -5]]))], "fid long, geog binary")
+    got = {(r.x, r.y) for r in tiles.vector_tile_coverage(df, 3).collect()}
+    # zoom 3: lng 170..180 -> x 7; -180..-170 -> x 0; lat +-5 -> y 3,4
+    assert got == {(7, 3), (7, 4), (0, 3), (0, 4)}
+
+
+def test_vector_tile_coverage_bbox_columns_and_guard(spark):
+    # explicit ingest bbox columns: candidate stage stays pure-Column
+    df = spark.createDataFrame(
+        [(1, _wkb_poly([[10, 10], [20, 10], [20, 20], [10, 20], [10, 10]]),
+          10.0, 10.0, 20.0, 20.0)],
+        "fid long, geog binary, xmin double, ymin double, "
+        "xmax double, ymax double")
+    got = tiles.vector_tile_coverage(
+        df, 6, bbox=("xmin", "ymin", "xmax", "ymax")).count()
+    assert got > 0
+    # planet-wide feature at high zoom must fail loudly, not silently cap
+    world = spark.createDataFrame(
+        [(1, _wkb_poly([[-179, -80], [179, -80], [179, 80],
+                        [-179, 80], [-179, -80]]),
+          -179.0, -80.0, 179.0, 80.0)],
+        "fid long, geog binary, xmin double, ymin double, "
+        "xmax double, ymax double")
+    with pytest.raises(Exception, match="vector_tile_coverage"):
+        tiles.vector_tile_coverage(
+            world, 12, bbox=("xmin", "ymin", "xmax", "ymax"),
+            refine=False).count()
