@@ -18,8 +18,10 @@ pure integer arithmetic so DuckDB oracles can reproduce them exactly:
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -617,6 +619,63 @@ def q_events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_memory(out, name)
     return spark.table(name).select(
         F.col("k").cast("long").alias("user_id"))
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded STREAMING dedup
+    (streaming/events.streaming_dedup -> dropDuplicatesWithinWatermark):
+    documents are staged so file k holds each digest's rank-k member
+    (row_number over doc_id), with strictly increasing mtimes so
+    maxFilesPerTrigger=1 replays them as ordered microbatches.  Batch 0
+    therefore carries every digest's minimum doc_id; every later batch is
+    pure duplicates that the operator's state must DROP across batch
+    boundaries.  Emitted rows == (digest, min doc_id) exactly — state
+    loss re-emits a key (extra rows), state false-positives swallow one
+    (missing rows) — which the DuckDB group-by oracle pins.  Rank files
+    also make every batch digest-unique, so the result is deterministic
+    under any intra-batch partition race."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import uuid
+    from pyspark.sql.window import Window
+    from s2geography_spark.streaming.events import (run_stream_to_memory,
+                                                    stream_events_from_parquet,
+                                                    streaming_dedup)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", F.md5(F.substring("text", 1, 32)).alias("digest"))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    pdf = docs.withColumn("rank", F.row_number().over(w) - 1).toPandas()
+
+    staged = f"/tmp/s2stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged)
+    ts = pd.Timestamp("2026-01-01")
+    base = 1700000000
+    for k in sorted(pdf["rank"].unique()):
+        part = pdf[pdf["rank"] == k][["doc_id", "digest"]].copy()
+        # microsecond UTC timestamps: pyarrow's default nanos don't read
+        # back as Spark's `timestamp`
+        part["event_time"] = ts.tz_localize("UTC")
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        tbl = tbl.cast(pa.schema([("doc_id", pa.int64()),
+                                  ("digest", pa.string()),
+                                  ("event_time",
+                                   pa.timestamp("us", tz="UTC"))]))
+        f = os.path.join(staged, f"{int(k):04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, (base + int(k), base + int(k)))  # mtime = batch order
+
+    schema = ("doc_id long, digest string, "
+              "event_time timestamp")
+    stream = stream_events_from_parquet(
+        spark, staged, schema)
+    out = streaming_dedup(stream, ["digest"], event_time="event_time",
+                          delay="1 hour")
+    name = f"streamdedup_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(out, name)
+    return spark.table(name).select("digest",
+                                    F.col("doc_id").alias("keep_id"))
 
 
 def q_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": q_media_stats,
         "media_probe": q_media_probe,
         "events_first_seen": q_events_first_seen,
+        "stream_dedup": q_stream_dedup,
         "text_quality": q_text_quality,
         "hex_tiles": q_hex_tiles,
         "projections": q_projections,
@@ -2410,6 +2470,15 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["events_first_seen"] = """
         SELECT DISTINCT user_id FROM events
+    """
+
+    # watermark-bounded streaming dedup: batch 0 holds each digest's
+    # min-doc_id member, so the emitted first-arrivals are exactly the
+    # per-digest minimum
+    sqls["stream_dedup"] = """
+        SELECT md5(substring(text, 1, 32)) AS digest,
+               min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
     """
 
     # four snapshot-consistent reads of the Iceberg-lite table reduce to

@@ -60,3 +60,21 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def streaming_dedup(stream: DataFrame, subset, *, event_time: str,
+                    delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with watermark-BOUNDED state
+    (dropDuplicatesWithinWatermark): emits the FIRST arrival per key and
+    drops duplicates that arrive within `delay` of it.
+
+    This is the only dedup shape that survives an unbounded stream: plain
+    dropDuplicates state grows O(all keys ever seen); here a key's state
+    is evicted once the watermark passes its event time + delay, so state
+    is O(keys per delay window).  The contract a training-data ingest
+    accepts: duplicates separated by more than `delay` of EVENT time can
+    be re-emitted — downstream batch dedup (operators/dedup.py) catches
+    those, and the stream stage has bounded memory forever.
+    """
+    return (stream.withWatermark(event_time, delay)
+            .dropDuplicatesWithinWatermark(list(subset)))
