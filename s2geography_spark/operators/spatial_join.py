@@ -595,9 +595,12 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                                     F.col(lat), F.col("_full")))
         return refined.drop("_leaf", "_ck", "_full")
 
-    # non-broadcastable dim.  Four plans (all brute-force-verified):
+    # non-broadcastable dim.  Four plans (all brute-force-verified);
+    # 'auto' picks between the two subdivided forms with one tiny
+    # dim-side stats action (broadcast the state when it fits, shuffle
+    # otherwise):
     #
-    # subdivided (the 'auto' default, round 5): ONE fact-side shuffle on
+    # subdivided: ONE fact-side shuffle on
     #   the (salted) cell key; candidates carry the matched cell's packed
     #   SUBDIVIDED state blob (ref-containment bit + only the edges
     #   intersecting that cell, ~150 B) instead of ~1 KB region WKB, and
@@ -633,15 +636,20 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     # Hot-cell skew on shuffling joins is salted (plus AQE skew-join);
     # the cogroup refine reuses the salt to split hot-region groups.
     if refine_mode == "auto":
-        # subdivided (round-5): same single fact-side shuffle as "rows",
-        # but candidates carry the per-cell SUBDIVIDED state (ref-point
+        # cost-based: build the per-cell SUBDIVIDED state (ref-point
         # containment bit + only the ring edges intersecting the matched
-        # cell) instead of the full region WKB — ~48 B/edge vs ~1 KB WKB
-        # over the Arrow hop, and O(edges-in-cell) crossing parity instead
-        # of O(total edges) winding in the refine.
-        refine_mode = "subdivided"
+        # cell, ~150 B/boundary cell) and let ONE tiny dim-side stats
+        # action decide between its two consumers —
+        #   state broadcastable  -> subdivided_broadcast (fact MAP-ONLY,
+        #     zero fact exchange; beats shipping the blob with every
+        #     candidate row at ANY match rate — on a geo-dense corpus the
+        #     rows form ships candidates x 150 B through the exchange)
+        #   state too large      -> subdivided (single salted fact-side
+        #     shuffle, blob rides the candidate rows)
+        refine_mode = "subdivided_auto"
 
-    if refine_mode in ("subdivided", "subdivided_broadcast"):
+    if refine_mode in ("subdivided", "subdivided_broadcast",
+                       "subdivided_auto"):
         from ..functions.geo import st_boundingbox
         exploded = regions \
             .withColumn("_bb", st_boundingbox(F.col(region_geog))) \
@@ -667,17 +675,13 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         pts = pts.withColumnRenamed("_ck", "_ckp")
         if not leaf_mode:
             pts = pts.drop("_leaf")
-        state_bcast = refine_mode == "subdivided_broadcast"
-        if state_bcast:
+        if refine_mode != "subdivided":
             # the 100 TB answer for a dim whose WKB can NOT broadcast: the
             # per-cell SUBDIVIDED state (~150 B/boundary cell, no polygon
             # bytes anywhere) usually still CAN — broadcasting it keeps the
             # fact side MAP-ONLY (zero fact exchange; the only shuffle in a
             # typical query is the downstream rollup), which is what
-            # actually scales with executors.  Guarded like every other
-            # broadcast: overflow raises, callers fall back to the
-            # shuffling 'subdivided' mode.
-            salt = 0
+            # actually scales with executors.
             # materialize ONCE: without this the stats guard runs the
             # per-region subdivided_state_udf over the whole dim, and the
             # broadcast then re-executes the same UDF from scratch at join
@@ -687,11 +691,21 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             stats = exploded.agg(
                 F.count("*").alias("n"),
                 F.sum(F.octet_length("_state")).alias("b")).collect()[0]
-            if int(stats.n or 0) > MAX_BROADCAST_INDEX_ROWS or \
-                    int(stats.b or 0) > MAX_BROADCAST_DIM_BYTES:
+            fits = int(stats.n or 0) <= MAX_BROADCAST_INDEX_ROWS and \
+                int(stats.b or 0) <= MAX_BROADCAST_DIM_BYTES
+            if refine_mode == "subdivided_auto":
+                # auto: broadcast when allowed, shuffle otherwise
+                refine_mode = "subdivided_broadcast" if fits \
+                    else "subdivided"
+            elif not fits:
+                # explicit broadcast request overflows: raise, like every
+                # other broadcast guard (callers fall back to 'subdivided')
                 raise ValueError(
                     f"subdivided state too large to broadcast ({stats.n} "
                     f"cells, {stats.b} bytes); use refine_mode='subdivided'")
+        state_bcast = refine_mode == "subdivided_broadcast"
+        if state_bcast:
+            salt = 0
         if prefilter and not state_bcast:
             # runtime semi-join reduction BEFORE the fact-side exchange
             # (the manual form of Spark's semi-join runtime filter, which

@@ -58,7 +58,11 @@ def main():
 
     # 2. adaptive multi-level path with salting (shuffle join form)
     pts = em._customer_points(spark, SF_DIR)
-    joined2 = spatial_join(pts, regions_df(spark, 96), broadcast=False, salt=4)
+    # refine_mode pinned to the shuffling form: this section documents the
+    # forced-shuffle plan ('auto' would upgrade this broadcastable dim's
+    # state to subdivided_broadcast and erase the exchange under audit)
+    joined2 = spatial_join(pts, regions_df(spark, 96), broadcast=False,
+                           salt=4, refine_mode="subdivided")
     sections.append((
         "Spatial join, shuffle path with salting (large-dim form)",
         """What to verify:
@@ -114,6 +118,20 @@ def main():
   higher-order-function dot product — corpus side is map-only.
 - One exchange for the per-query window (partitionBy q_id).""",
         plan_of(ann)))
+
+    # 7. polygon -> raster tile coverage
+    vt = em.q_vector_tiles_z6(spark, SF_DIR)
+    sections.append((
+        "Raster-tile <-> vector assignment (vector_tile_coverage, zoom 6)",
+        """What to verify:
+- Candidate stage fully inside `WholeStageCodegen`: floor/trig tile
+  ranges from the ingest bbox columns, two `Generate explode` (x run,
+  y run) — no Python, no shuffle before the refine.
+- ONE ArrowEvalPython: the spherical s2_intersectsbox refine, AFTER the
+  explode, so Python sees only real candidates.
+- No Exchange anywhere: the operator is map-only and composes with a
+  downstream per-tile rollup's single shuffle.""",
+        plan_of(vt)))
 
     out = ["# PLANS — physical-plan audit of the key operators",
            "",

@@ -6,7 +6,7 @@ join (the BASELINE.json metric: cover + PIP refine) at several local[N]
 parallelism levels on the same pre-materialized input, reporting throughput
 at each and the N->4N scaling efficiency.
 
-Protocol (round 5, third revision): five join modes x three parallelism
+Protocol (round 5, third revision): six join modes x three parallelism
 levels, interleaved at SINGLE-REP granularity across three PERSISTENT
 child sessions (a JVM's local master is fixed at startup, so each level
 keeps its own child alive and the parent round-robins one rep at a time:
@@ -37,9 +37,12 @@ PREP = """
 import sys
 sys.path.insert(0, {repo!r})
 from s2geography_spark.session import get_spark
-from bench import materialize_mentions
+from bench import materialize_mentions, materialize_mentions_dense
 spark = get_spark("prep", cpus=32)
-materialize_mentions(spark, {pages}, {path!r})
+if {dense}:
+    materialize_mentions_dense(spark, {pages}, {path!r})
+else:
+    materialize_mentions(spark, {pages}, {path!r})
 print("RESULT ok")
 """
 
@@ -57,11 +60,13 @@ spark.sql(f"DROP TABLE IF EXISTS {{tbl}}")
 materialize_mentions_bucketed(spark, {sh_pages}, tbl)
 modes = {{
     "broadcast": lambda: run_join_bench(spark, {path!r}),
-    "shuffle": lambda: run_join_bench_shuffle(spark, {sh_path!r}),
+    "shuffle": lambda: run_join_bench_shuffle(
+        spark, {sh_path!r}, refine_mode="subdivided"),
     "shuffle_nofilter": lambda: run_join_bench_shuffle(
-        spark, {sh_path!r}, prefilter=False),
+        spark, {sh_path!r}, prefilter=False, refine_mode="subdivided"),
     "state_bcast": lambda: run_join_bench_shuffle(
         spark, {sh_path!r}, refine_mode="subdivided_broadcast"),
+    "shuffle_dense": lambda: run_join_bench_shuffle(spark, {dn_path!r}),
     "bucketed": lambda: run_join_bench_bucketed(spark, tbl),
 }}
 for fn in modes.values():
@@ -86,17 +91,18 @@ def run(code: str, timeout=3600) -> str:
 
 
 MODES = ("broadcast", "shuffle", "shuffle_nofilter", "state_bcast",
-         "bucketed")
+         "shuffle_dense", "bucketed")
 LEVELS = (2, 8, 32)
 
 
 class Child:
-    def __init__(self, cpus: int, path: str, sh_path: str, sh_pages: int):
+    def __init__(self, cpus: int, path: str, sh_path: str, dn_path: str,
+                 sh_pages: int):
         self.cpus = cpus
         self.proc = subprocess.Popen(
             [sys.executable, "-c", CHILD.format(
                 repo=REPO, cpus=cpus, path=path, sh_path=sh_path,
-                sh_pages=sh_pages)],
+                dn_path=dn_path, sh_pages=sh_pages)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=REPO)
 
@@ -132,11 +138,18 @@ def main():
     sh_pages = int(os.environ.get("SCALING_PAGES_SHUFFLE", "32000000"))
     path = os.environ.get("SCALING_PATH", "/tmp/mentions_bench_xxl")
     sh_path = os.environ.get("SCALING_PATH_SHUFFLE", "/tmp/mentions_bench_sh")
+    dn_pages = int(os.environ.get("SCALING_PAGES_DENSE", str(pages)))
+    dn_path = os.environ.get("SCALING_PATH_DENSE", "/tmp/mentions_bench_dense")
     reps = int(os.environ.get("SCALING_REPS", "7"))
-    run(PREP.format(repo=REPO, pages=pages, path=path), timeout=1200)
-    run(PREP.format(repo=REPO, pages=sh_pages, path=sh_path), timeout=1200)
+    run(PREP.format(repo=REPO, pages=pages, path=path, dense=False),
+        timeout=1200)
+    run(PREP.format(repo=REPO, pages=sh_pages, path=sh_path, dense=False),
+        timeout=1200)
+    run(PREP.format(repo=REPO, pages=dn_pages, path=dn_path, dense=True),
+        timeout=1200)
 
-    children = {c: Child(c, path, sh_path, sh_pages) for c in LEVELS}
+    children = {c: Child(c, path, sh_path, dn_path, sh_pages)
+                for c in LEVELS}
     for c in LEVELS:
         children[c].wait_ready()
 
@@ -195,7 +208,7 @@ def main():
 
 ## Protocol
 
-Five join modes x three parallelism levels, interleaved at SINGLE-REP
+Six join modes x three parallelism levels, interleaved at SINGLE-REP
 granularity across three persistent sessions (one JVM per local[N]
 level; the parent round-robins mode m at local[2], local[8], local[32],
 then the next mode, x {reps} cycles after one untimed warm-up of every
@@ -278,6 +291,24 @@ edge subset, no WKB anywhere.
 
 - N=2 -> 4N=8: efficiency **{summary['state_bcast_scaling_efficiency_2_to_8']}**
 - N=8 -> 4N=32: efficiency **{summary['state_bcast_scaling_efficiency_8_to_32']}**
+
+## Dense corpus, engine-chosen plan (refine_mode='auto')
+
+A geo-DENSE corpus ({levels[8]['shuffle_dense']['mentions']:,} mentions,
+every one inside the covering set — GPS/check-in/geotagged-media shape)
+is the adversarial input for the shuffle join: the semi-join prefilter
+removes ~nothing and the rows form would ship its ~150 B state blob with
+EVERY candidate through the exchange.  `refine_mode='auto'` measures what
+the engine actually picks here: the dim state fits the broadcast guard,
+so the plan upgrades to subdivided_broadcast — the fact side stays
+MAP-ONLY and no candidate bytes shuffle at all, at a 100% match rate.
+
+| parallelism | wall sec (min-max) | join rows/sec |
+|---|---|---|
+{table('shuffle_dense')}
+
+- N=2 -> 4N=8: efficiency **{summary['shuffle_dense_scaling_efficiency_2_to_8']}**
+- N=8 -> 4N=32: efficiency **{summary['shuffle_dense_scaling_efficiency_8_to_32']}**
 
 ## Bucketed-corpus shuffle path (the 100 TB ingest pattern)
 
