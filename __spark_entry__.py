@@ -112,6 +112,21 @@ def q_geo_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("region_id").agg(F.count("*").alias("n_points"))
 
 
+def q_geo_pip_counts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same per-region counts through the AGGREGATE-PUSHDOWN plan
+    (spatial_count, round 5): the interior mass never becomes join rows —
+    the fact's only wide exchange is groupBy(cell).count() (one ~16 B row
+    per occupied cell after partial aggregation), and only the
+    boundary-cell band flows through the parity refine.  Oracled against
+    the identical closed-form SQL as geo_pip_counts, proving the
+    decomposition sum(full-cell counts) + refined boundary count is
+    exactly the join-then-rollup answer."""
+    from s2geography_spark.operators.spatial_join import spatial_count
+    pts = _customer_points(spark, sf_dir)
+    return spatial_count(pts, _regions(spark), level=8,
+                         count_col="n_points")
+
+
 def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=3 nearest region centers per customer point via the SCALE path:
     buffered-covering candidate pruning with radius doubling (the
@@ -1837,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geo_pip_pairs": q_geo_pip_pairs,
         "geo_pip_counts": q_geo_pip_counts,
+        "geo_pip_counts_agg": q_geo_pip_counts_agg,
         "geo_knn": q_geo_knn,
         "geo_knn_dense": q_geo_knn_dense,
         "geo_centroid_nation": q_geo_centroid_nation,
@@ -1935,6 +1951,8 @@ def oracle_sql() -> dict[str, str]:
          AND p.lat > r.lat0 AND p.lat < r.lat1
         GROUP BY r.region_id
     """
+    # the aggregate-pushdown plan must produce the identical counts
+    sqls["geo_pip_counts_agg"] = sqls["geo_pip_counts"]
 
     sqls["geo_knn"] = f"""
         WITH pts AS (SELECT * FROM ({_PTS_SQL}) WHERE c_custkey <= 500),

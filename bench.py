@@ -159,15 +159,45 @@ def run_join_bench(spark, mentions_path: str):
     return int(rows_in), rows_out, dt
 
 
+_PREPARED_SUB = {}
+
+
+def run_scan_floor(spark, mentions_path: str):
+    """Bandwidth floor control: scan the SAME columns the shuffle join
+    scans (lng, lat, leaf) and reduce them with a trivial JVM aggregate —
+    no join, no Python, no exchange beyond the final 1-row rollup.  Any
+    join over this input can never beat this wall time, and on a
+    memory-bus-saturated host its parallel-scaling ratio is the ceiling
+    for every scan-dominated mode (see BENCH/BASELINE.md Analysis)."""
+    from pyspark.sql import functions as F
+
+    mentions = spark.read.parquet(mentions_path)
+    cols = [c for c in ("lng", "lat", "leaf") if c in mentions.columns]
+    # bit_xor for the integer column: ANSI mode overflow-checks sum(bigint)
+    aggs = [F.bit_xor(c).alias(f"s_{c}") if c == "leaf"
+            else F.sum(c).alias(f"s_{c}") for c in cols]
+    t0 = time.time()
+    row = (mentions.select(*cols)
+           .agg(F.count("*").alias("n"), *aggs).collect()[0])
+    dt = time.time() - t0
+    return int(row.n), 0, dt
+
+
 def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4,
                            refine_mode: str = "auto",
-                           prefilter: bool = True):
+                           prefilter: bool = True,
+                           prepared: bool = False):
     """Shuffle-path variant of the headline join (broadcast=False): region
     WKB travels with rows through a hash-partitioned equi-join on the
     (salted) cell key — the mode a non-broadcastable dim takes.  Used by
-    the scaling bench to evidence the north rule on BOTH join modes."""
+    the scaling bench to evidence the north rule on BOTH join modes.
+
+    prepared=True reuses a PreparedRegionsSubdivided across calls (the
+    repeated-join configuration: dim state built once, OUTSIDE the timer —
+    the ShapeIndex-reuse analog of run_join_bench's PreparedRegions)."""
     from pyspark.sql import functions as F
-    from s2geography_spark.operators.spatial_join import spatial_join
+    from s2geography_spark.operators.spatial_join import (
+        prepare_regions_subdivided, spatial_join)
     from s2geography_spark.sources.regions import regions_df
 
     mentions = spark.read.parquet(mentions_path)
@@ -176,7 +206,15 @@ def run_join_bench_shuffle(spark, mentions_path: str, salt: int = 4,
     # Python refine's Arrow hop entirely — 3.63 s -> 2.10 s at 8 cores and
     # 2->8 scaling 0.43 -> 0.65 vs level 6; the fact side still emits ONE
     # key per point, only the (tiny) exploded dim grows 16x
-    regions = regions_df(spark, 96, covering_level=8)
+    if prepared:
+        key = spark.sparkContext.applicationId
+        if key not in _PREPARED_SUB:
+            _PREPARED_SUB.clear()
+            _PREPARED_SUB[key] = prepare_regions_subdivided(
+                spark, regions_df(spark, 96, covering_level=8))
+        regions = _PREPARED_SUB[key]
+    else:
+        regions = regions_df(spark, 96, covering_level=8)
     leaf = "leaf" if "leaf" in mentions.columns else None
     # column pruning BEFORE the fact-side shuffle: the rollup needs only
     # the coordinates (+ the ingest leaf cell); shuffling the url string
@@ -309,6 +347,7 @@ def main():
         "ann_topk", "embedding_near_dup", "lineitem_agg", "events_window",
         "events_sessions", "text_quality", "geo_zm_interp", "media_stats",
         "text_repetition", "url_canon", "html_text", "vector_tiles_z6",
+        "geo_pip_counts_agg",
     ]
     qs = entry_mod.queries()
     # one untimed warmup execution per query: on this JVM the FIRST run of

@@ -423,6 +423,83 @@ def prepare_regions(spark, regions: DataFrame, *, region_geog: str = "geog",
     return PreparedRegions(spark, regions, region_geog, region_id, covering_col)
 
 
+def _subdivided_exploded(regions: DataFrame, region_geog: str,
+                         covering_col: str) -> DataFrame:
+    """Exploded per-covering-cell SUBDIVIDED state table for the
+    shuffle-family join plans: one row per (region, covering cell) with the
+    mixed join key, the interior flag, the packed state blob (ref point +
+    only the ring edges intersecting that cell), and bbox prefilter
+    columns.  Shared by the inline subdivided branch of spatial_join and
+    by prepare_regions_subdivided."""
+    from ..functions.geo import st_boundingbox
+    return (regions
+            .withColumn("_bb", st_boundingbox(F.col(region_geog)))
+            .withColumn("_sub", subdivided_state_udf(F.col(region_geog),
+                                                     F.col(covering_col)))
+            .select("*", F.posexplode(covering_col).alias("_pos", "cell_id"))
+            .withColumn("_st", F.col("_sub")[F.col("_pos")])
+            .withColumn("_full", F.coalesce(F.col("_st.full"), F.lit(False)))
+            .withColumn("_state", F.col("_st.state"))
+            .drop(covering_col, region_geog, "_sub", "_st", "_pos")
+            .withColumn("_ck", cell_join_key(F.col("cell_id"))).drop("cell_id")
+            .withColumn("_xmin", F.col("_bb.xmin"))
+            .withColumn("_ymin", F.col("_bb.ymin"))
+            .withColumn("_xmax", F.col("_bb.xmax"))
+            .withColumn("_ymax", F.col("_bb.ymax")).drop("_bb"))
+
+
+class PreparedRegionsSubdivided:
+    """Prepared dim state for the NON-broadcastable-dim (shuffle-family)
+    join plans — the subdivided-state analog of :class:`PreparedRegions`
+    (reference MutableS2ShapeIndex reuse, geography.h:182-210): the
+    exploded per-cell state table is built ONCE (the per-region
+    subdivided_state_udf is the dominant dim-side cost), pinned with an
+    eager localCheckpoint, and reused across any number of point-side
+    joins, along with the broadcast-fit stats and the distinct cell-key
+    set the fact-side semi-join prefilter broadcasts.
+
+    Unlike PreparedRegions this never collects anything to the driver and
+    has NO size guard — it exists precisely for dims too large to
+    broadcast (the state table shuffles or broadcasts per its own stats)."""
+
+    def __init__(self, spark, regions: DataFrame, region_geog: str,
+                 region_id: str, covering_col: str):
+        self.region_id = region_id
+        self.levels = covering_levels(regions, covering_col)
+        # eager checkpoint: runs the state UDF exactly once; the blocks
+        # carry no CacheManager entry, so the ContextCleaner frees them
+        # with this object's DataFrame reference
+        self.exploded = _subdivided_exploded(
+            regions, region_geog, covering_col).localCheckpoint(eager=True)
+        stats = self.exploded.agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("_state")).alias("b")).collect()[0]
+        self.state_cells = int(stats.n or 0)
+        self.state_bytes = int(stats.b or 0)
+        self.fits_broadcast = (
+            self.state_cells <= MAX_BROADCAST_INDEX_ROWS
+            and self.state_bytes <= MAX_BROADCAST_DIM_BYTES)
+        # distinct mixed keys (8 B/cell) for the pre-exchange semi-join;
+        # derived from the checkpointed table, so no second UDF pass
+        self.keys = (self.exploded.select(F.col("_ck").alias("_ckf"))
+                     .distinct().localCheckpoint(eager=True))
+
+
+def prepare_regions_subdivided(
+        spark, regions: DataFrame, *, region_geog: str = "geog",
+        region_id: str = "region_id",
+        covering_col: str = "covering") -> PreparedRegionsSubdivided:
+    """Prepare the dim side of a shuffle-path spatial join once for reuse
+    (see PreparedRegionsSubdivided).  Pass the result as `regions` to
+    spatial_join(..., broadcast=False)."""
+    if covering_col not in regions.columns:
+        from ..functions.geo import s2_coveringcellids
+        regions = regions.withColumn(covering_col,
+                                     s2_coveringcellids(region_geog))
+    return PreparedRegionsSubdivided(spark, regions, region_geog, region_id,
+                                     covering_col)
+
+
 def choose_salt(points: DataFrame, *, lng: str = "lng", lat: str = "lat",
                 level: int = 6, sample_fraction: float = 0.01,
                 target_ratio: float = 2.0, max_salt: int = 64) -> int:
@@ -493,7 +570,11 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
 
     regions may also be a :class:`PreparedRegions` (from prepare_regions) to
     amortize the dim-side preparation (broadcast, bbox, covering explode)
-    across many point-side joins.
+    across many point-side joins, or a :class:`PreparedRegionsSubdivided`
+    (from prepare_regions_subdivided) for the shuffle-family plans — the
+    exploded subdivided-state table, its broadcast-fit stats, and the
+    prefilter key set are then built once and reused; refine_mode 'auto'
+    resolves from the prepared stats with no extra job.
 
     prefilter (shuffle paths only): broadcast the dim's DISTINCT cell-key
     set (8 B/cell — broadcastable even when nothing else about the dim is)
@@ -520,7 +601,21 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             raise ValueError("coords='leaf' requires leaf_col (the corpus "
                              "has no lng/lat to derive the leaf id from)")
     prep: Optional[PreparedRegions] = None
-    if isinstance(regions, PreparedRegions):
+    sub_prep: Optional[PreparedRegionsSubdivided] = None
+    if isinstance(regions, PreparedRegionsSubdivided):
+        # prepared shuffle-family dim: state already built/checkpointed,
+        # broadcast flag is moot (this prep exists for non-broadcastable
+        # dims), and only the subdivided plans can consume it
+        sub_prep = regions
+        region_id = sub_prep.region_id
+        broadcast = False
+        if refine_mode not in ("auto", "subdivided", "subdivided_broadcast"):
+            raise ValueError(
+                "a PreparedRegionsSubdivided dim supports only "
+                "refine_mode 'auto'/'subdivided'/'subdivided_broadcast' "
+                f"(got {refine_mode!r}); the prepared state table carries "
+                "no region WKB for the rows/index/cogroup plans")
+    elif isinstance(regions, PreparedRegions):
         prep = regions
         region_id = prep.region_id
     else:
@@ -561,8 +656,12 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         pts = pts.withColumn(
             "_ck", cell_join_key(cell_parent(F.col("_leaf"), int(level))))
     else:
-        levels = prep.levels if prep is not None \
-            else covering_levels(regions, covering_col)
+        if prep is not None:
+            levels = prep.levels
+        elif sub_prep is not None:
+            levels = sub_prep.levels
+        else:
+            levels = covering_levels(regions, covering_col)
         pts = pts.withColumn(
             "_cell", F.explode(ancestors_at_levels(F.col("_leaf"), levels)))
         pts = pts.withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell")
@@ -650,21 +749,8 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
 
     if refine_mode in ("subdivided", "subdivided_broadcast",
                        "subdivided_auto"):
-        from ..functions.geo import st_boundingbox
-        exploded = regions \
-            .withColumn("_bb", st_boundingbox(F.col(region_geog))) \
-            .withColumn("_sub", subdivided_state_udf(F.col(region_geog),
-                                                     F.col(covering_col))) \
-            .select("*", F.posexplode(covering_col).alias("_pos", "cell_id")) \
-            .withColumn("_st", F.col("_sub")[F.col("_pos")]) \
-            .withColumn("_full", F.coalesce(F.col("_st.full"), F.lit(False))) \
-            .withColumn("_state", F.col("_st.state")) \
-            .drop(covering_col, region_geog, "_sub", "_st", "_pos") \
-            .withColumn("_ck", cell_join_key(F.col("cell_id"))).drop("cell_id") \
-            .withColumn("_xmin", F.col("_bb.xmin")) \
-            .withColumn("_ymin", F.col("_bb.ymin")) \
-            .withColumn("_xmax", F.col("_bb.xmax")) \
-            .withColumn("_ymax", F.col("_bb.ymax")).drop("_bb")
+        exploded = sub_prep.exploded if sub_prep is not None \
+            else _subdivided_exploded(regions, region_geog, covering_col)
         # coords="leaf": CELL-CENTER corpus (reference compact tagged
         # encoding, encoding.py CELL_CENTER) — the fact side carries ONLY
         # the 8 B leaf id; the refine reconstructs the exact cell center.
@@ -675,7 +761,20 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         pts = pts.withColumnRenamed("_ck", "_ckp")
         if not leaf_mode:
             pts = pts.drop("_leaf")
-        if refine_mode != "subdivided":
+        if sub_prep is not None:
+            # stats were paid once at prepare time; resolve the mode from
+            # them with no extra action
+            if refine_mode == "subdivided_auto":
+                refine_mode = "subdivided_broadcast" \
+                    if sub_prep.fits_broadcast else "subdivided"
+            elif refine_mode == "subdivided_broadcast" and \
+                    not sub_prep.fits_broadcast:
+                raise ValueError(
+                    f"subdivided state too large to broadcast "
+                    f"({sub_prep.state_cells} cells, "
+                    f"{sub_prep.state_bytes} bytes); use "
+                    "refine_mode='subdivided'")
+        elif refine_mode != "subdivided":
             # the 100 TB answer for a dim whose WKB can NOT broadcast: the
             # per-cell SUBDIVIDED state (~150 B/boundary cell, no polygon
             # bytes anywhere) usually still CAN — broadcasting it keeps the
@@ -716,7 +815,8 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             # WKB nor the subdivided state can.  The exchange is the
             # bandwidth-bound stage of this path at scale; on the bench
             # corpus this drops ~94% of fact rows before it.
-            keys = regions.select(F.explode(covering_col).alias("_c")) \
+            keys = sub_prep.keys if sub_prep is not None else \
+                regions.select(F.explode(covering_col).alias("_c")) \
                 .select(cell_join_key(F.col("_c")).alias("_ckf")).distinct()
             pts = pts.join(F.broadcast(keys),
                            pts["_ckp"] == keys["_ckf"], "left_semi")
@@ -869,6 +969,93 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     return _cogroup_refine(cand, regions, region_geog, region_id,
                            covering_col, lng, lat, predicate,
                            int(salt) if salt else 1)
+
+
+def spatial_count(points: DataFrame, regions, *,
+                  lng: str = "lng", lat: str = "lat",
+                  region_geog: str = "geog", region_id: str = "region_id",
+                  covering_col: str = "covering",
+                  level: int = 8, leaf_col: Optional[str] = None,
+                  count_col: str = "n") -> DataFrame:
+    """Aggregate-pushdown contains COUNT: per-region point counts WITHOUT
+    materializing join rows for the interior mass.
+
+    The fixed-level covering splits each region into FULL cells (provably
+    interior — every point in them is contained, no refine needed,
+    reference INDEXED/SUBDIVIDED distinction index.h:52-91) and boundary
+    cells, so the count decomposes:
+
+        count(region) = sum of per-cell point counts over its full cells
+                      + refined boundary-band candidate count
+
+    The full-cell term touches the fact only through groupBy(cell).count():
+    partial (map-side) aggregation means the one fact-wide exchange carries
+    a row per DISTINCT OCCUPIED CELL (~16 B), not per point — at 100 TB
+    that is kilobytes of cell counts instead of terabytes of candidate
+    rows.  Only the boundary band (points whose cell key appears in some
+    non-full covering cell — a broadcast semi-join picks them out) flows
+    through the subdivided parity refine, against the non-full slice of
+    the same prepared state spatial_join uses.
+
+    Returns one row per matched region: (`region_id`, `count_col`).
+    Equivalent to spatial_join(points, regions, predicate="contains",
+    level=level).groupBy(region_id).count() (asserted in tests) at a
+    fraction of the exchange volume.
+
+    regions: a dim DataFrame (prepared internally — pass a
+    PreparedRegionsSubdivided to amortize across calls).  The covering
+    must be at fixed `level` (one join key per point)."""
+    spark = points.sparkSession
+    if isinstance(regions, PreparedRegionsSubdivided):
+        prep = regions
+        region_id = prep.region_id
+    else:
+        prep = prepare_regions_subdivided(
+            spark, regions, region_geog=region_geog, region_id=region_id,
+            covering_col=covering_col)
+    ex = prep.exploded
+    if leaf_col is not None:
+        pts = points.withColumn("_leaf", F.col(leaf_col))
+    else:
+        pts = points.withColumn("_leaf",
+                                leaf_cell_udf(F.col(lng), F.col(lat)))
+    pts = (pts.withColumn(
+        "_ckp", cell_join_key(cell_parent(F.col("_leaf"), int(level))))
+        .select("_ckp", lng, lat))
+    # term 1: full-cell mass — the fact's ONLY wide aggregation; the
+    # shuffle after partial aggregation is one row per occupied cell
+    cell_counts = pts.groupBy("_ckp").agg(F.count("*").alias("_n"))
+    full_cells = ex.where(F.col("_full")).select(region_id, "_ck")
+    full_part = (cell_counts
+                 .join(F.broadcast(full_cells),
+                       cell_counts["_ckp"] == full_cells["_ck"], "inner")
+                 .select(region_id, "_n"))
+    # term 2: boundary band — semi-join down to candidate rows, then the
+    # same bbox-conditioned parity refine as spatial_join's subdivided plan
+    bex = ex.where(~F.col("_full"))
+    bkeys = bex.select(F.col("_ck").alias("_ckf")).distinct()
+    bpts = pts.join(F.broadcast(bkeys), pts["_ckp"] == F.col("_ckf"),
+                    "left_semi")
+    eps = 1e-9
+    lat_ok = (bpts[lat] >= bex["_ymin"] - eps) & \
+        (bpts[lat] <= bex["_ymax"] + eps)
+    lng_in = F.when(
+        bex["_xmin"] <= bex["_xmax"],
+        (bpts[lng] >= bex["_xmin"] - eps) & (bpts[lng] <= bex["_xmax"] + eps)
+    ).otherwise((bpts[lng] >= bex["_xmin"] - eps)
+                | (bpts[lng] <= bex["_xmax"] + eps))
+    bbox_ok = bex["_xmin"].isNull() | (lat_ok & lng_in)
+    cond = (bpts["_ckp"] == bex["_ck"]) & bbox_ok
+    cand = bpts.join(
+        F.broadcast(bex) if prep.fits_broadcast
+        else bex.hint("SHUFFLE_HASH"), cond, "inner")
+    refined = cand.where(F.coalesce(
+        parity_refine_udf(F.col("_state"), F.col(lng), F.col(lat)),
+        F.lit(False)))
+    boundary_part = (refined.groupBy(region_id)
+                     .agg(F.count("*").alias("_n")))
+    return (full_part.unionByName(boundary_part)
+            .groupBy(region_id).agg(F.sum("_n").alias(count_col)))
 
 
 def _cogroup_refine(cand: DataFrame, regions: DataFrame, region_geog: str,

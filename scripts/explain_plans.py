@@ -133,6 +133,23 @@ def main():
   downstream per-tile rollup's single shuffle.""",
         plan_of(vt)))
 
+    # 8. aggregate-pushdown contains count (spatial_count)
+    sc = em.q_geo_pip_counts_agg(spark, SF_DIR)
+    sections.append((
+        "Aggregate-pushdown contains count (spatial_count)",
+        """What to verify:
+- The fact side's ONLY wide operator is `HashAggregate` keyed on the cell
+  key with a `partial_count` BEFORE its Exchange — the shuffle carries one
+  row per occupied cell, not per point (the 100 TB lever: candidate rows
+  for the interior mass are never materialized).
+- The full-cell term then joins those per-cell counts to the dim's full
+  cells with a `BroadcastHashJoin` — tiny build side, no fact rows.
+- The boundary band: a broadcast left-SEMI join prunes the fact to
+  boundary-cell rows first, and only that band reaches `ArrowEvalPython`
+  (the parity refine) via a second BroadcastHashJoin.
+- The final union/rollup aggregates a few hundred rows — negligible.""",
+        plan_of(sc)))
+
     out = ["# PLANS — physical-plan audit of the key operators",
            "",
            "Regenerate with `python scripts/explain_plans.py`. Commentary",

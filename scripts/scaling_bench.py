@@ -53,7 +53,8 @@ import json, sys
 sys.path.insert(0, {repo!r})
 from s2geography_spark.session import get_spark
 from bench import (materialize_mentions_bucketed, run_join_bench,
-                   run_join_bench_bucketed, run_join_bench_shuffle)
+                   run_join_bench_bucketed, run_join_bench_shuffle,
+                   run_scan_floor)
 spark = get_spark("scaling", cpus={cpus})
 tbl = "mentions_bkt_scaling_l8_c{cpus}"
 spark.sql(f"DROP TABLE IF EXISTS {{tbl}}")
@@ -67,6 +68,9 @@ modes = {{
     "state_bcast": lambda: run_join_bench_shuffle(
         spark, {sh_path!r}, refine_mode="subdivided_broadcast"),
     "shuffle_dense": lambda: run_join_bench_shuffle(spark, {dn_path!r}),
+    "shuffle_prep": lambda: run_join_bench_shuffle(
+        spark, {sh_path!r}, refine_mode="subdivided", prepared=True),
+    "scan_floor": lambda: run_scan_floor(spark, {sh_path!r}),
     "bucketed": lambda: run_join_bench_bucketed(spark, tbl),
 }}
 for fn in modes.values():
@@ -91,7 +95,7 @@ def run(code: str, timeout=3600) -> str:
 
 
 MODES = ("broadcast", "shuffle", "shuffle_nofilter", "state_bcast",
-         "shuffle_dense", "bucketed")
+         "shuffle_dense", "shuffle_prep", "scan_floor", "bucketed")
 LEVELS = (2, 8, 32)
 
 
@@ -204,6 +208,17 @@ def main():
             f"| {levels[c][mode]['rows_per_sec']:,.0f} |"
             for c in LEVELS)
 
+    # join-over-scan-floor overhead per level: how much the prefiltered
+    # shuffle join adds on top of merely READING its input columns
+    floor = {c: round(levels[c]["shuffle"]["sec"]
+                      / levels[c]["scan_floor"]["sec"], 2) for c in LEVELS}
+    floor_tbl = "\n".join(
+        f"| local[{c}] | {levels[c]['scan_floor']['sec']} "
+        f"({levels[c]['scan_floor']['sec_min']}-"
+        f"{levels[c]['scan_floor']['sec_max']}) "
+        f"| {levels[c]['shuffle']['sec']} | {floor[c]}x |"
+        for c in LEVELS)
+
     md = f"""# BENCH/BASELINE — measured engine numbers
 
 ## Protocol
@@ -274,6 +289,44 @@ absolute win carries over without the ratio penalty.
 
 - N=2 -> 4N=8: efficiency **{summary['shuffle_nofilter_scaling_efficiency_2_to_8']}**
 - N=8 -> 4N=32: efficiency **{summary['shuffle_nofilter_scaling_efficiency_8_to_32']}**
+
+### Control: bare scan floor (no join at all)
+
+`run_scan_floor` scans the SAME parquet columns the shuffle join scans
+(lng, lat, leaf) into a trivial JVM sum/count — no join, no Python, no
+exchange.  No join over this input can beat it, and its parallel curve is
+the host's effective scan-bandwidth curve.  The prefiltered shuffle join
+lands within {max(floor.values())}x of this floor at every level — the
+join machinery (semi-join probe + exchange + parity refine on the ~6%
+surviving rows) is nearly free relative to reading the input, which is
+the design goal for a scan-shaped workload; it also means the mode's
+2 -> 8 ratio ({summary['shuffle_scaling_efficiency_2_to_8']}) is the
+SCAN's bandwidth ratio on this one-box sandbox
+({summary['scan_floor_scaling_efficiency_2_to_8']} for the bare scan),
+not a property of the join — Amdahl leaves nothing else for extra cores
+to speed up.  On a real cluster each executor brings its own disks and
+memory bus, so the scan term itself scales with executor count.
+
+| parallelism | scan floor sec (min-max) | prefiltered join sec | join/floor |
+|---|---|---|---|
+{floor_tbl}
+
+## Shuffle path, PREPARED dim (repeated-join configuration)
+
+`prepare_regions_subdivided` builds the exploded subdivided-state table
+once (eager localCheckpoint; the per-region state UDF and the
+broadcast-fit stats are paid OUTSIDE the join timer) and every subsequent
+join reuses it — the ShapeIndex-reuse analog of the broadcast path's
+PreparedRegions, and the configuration a long-lived service or a
+multi-query pipeline runs.  Same output rows as the inline form
+(correctness cross-checked in tests/test_spatial_join.py).
+
+| parallelism | wall sec (min-max) | join rows/sec |
+|---|---|---|
+{table('shuffle_prep')}
+
+- N=2 -> 4N=8: efficiency **{summary['shuffle_prep_scaling_efficiency_2_to_8']}**
+- N=8 -> 4N=32: efficiency **{summary['shuffle_prep_scaling_efficiency_8_to_32']}**
 
 ## Subdivided-state broadcast (non-broadcastable-WKB dim, round 5)
 

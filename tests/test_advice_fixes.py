@@ -247,6 +247,15 @@ def test_dedup_queries_cached_blocks_bounded(spark, tmp_path):
     def n_cached():
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
+    # drain entries left by earlier tests in a shared session BEFORE
+    # measuring the baseline — otherwise the loop's unpersist-and-replace
+    # removes frames that were counted in `base` and the final equality
+    # undershoots (order-dependent flake)
+    for key in list(E._LIVE_CACHE):
+        try:
+            E._LIVE_CACHE.pop(key)[1].unpersist(blocking=True)
+        except Exception:
+            pass
     base = n_cached()
     counts = []
     for _ in range(3):
@@ -258,5 +267,5 @@ def test_dedup_queries_cached_blocks_bounded(spark, tmp_path):
     assert counts[-1] == counts[0]
     # releasing the registry drops back to the baseline
     for key in list(E._LIVE_CACHE):
-        E._LIVE_CACHE.pop(key)[1].unpersist()
+        E._LIVE_CACHE.pop(key)[1].unpersist(blocking=True)
     assert n_cached() == base

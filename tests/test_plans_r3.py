@@ -136,3 +136,23 @@ def test_bucketed_fact_join_subdivided_no_fact_exchange(spark):
         assert got == exp and got
     finally:
         spark.sql("DROP TABLE IF EXISTS _bkt_plan_test_sub")
+
+
+def test_spatial_count_partial_agg_before_exchange(spark):
+    """spatial_count's 100 TB claim, plan-asserted: the fact side's wide
+    aggregation is keyed on the cell key with a map-side partial_count
+    (the exchange carries per-cell rows, not points), the dim joins are
+    broadcasts, and the refine Python node exists only on the boundary
+    band (downstream of a broadcast semi join)."""
+    from s2geography_spark.operators.spatial_join import spatial_count
+    from s2geography_spark.sources.regions import regions_df
+    pts = spark.createDataFrame([(1, 10.0, 10.0)],
+                                "id long, lng double, lat double")
+    cnt = spatial_count(pts, regions_df(spark, 24, covering_level=8),
+                        level=8)
+    plan = _plan(cnt)
+    assert "partial_count" in plan       # map-side combine on the fact
+    assert "BroadcastHashJoin" in plan   # dim terms broadcast
+    assert "LeftSemi" in plan            # boundary band pruned pre-refine
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -443,3 +443,98 @@ def test_leaf_only_cell_center_join(spark, mentions):
                           refine_mode="subdivided", leaf_col="leaf",
                           coords="leaf").select(*key).collect()}
     assert got_s == exp
+
+
+def test_prepared_subdivided_regions(spark, mentions):
+    """prepare_regions_subdivided: the prepared-dim shuffle join must
+    produce exactly the inline subdivided join's pairs in every resolved
+    mode, reuse must not rebuild state, and unsupported refine modes /
+    oversized explicit broadcasts must raise."""
+    from s2geography_spark.operators.spatial_join import (
+        prepare_regions_subdivided, spatial_join)
+
+    regions = regions_df(spark, 24)
+    prep = prepare_regions_subdivided(spark, regions)
+    assert prep.state_cells > 0 and prep.fits_broadcast
+    key = ["url", "mention_idx", "region_id"]
+    exp = {tuple(r) for r in
+           spatial_join(mentions, regions, predicate="contains",
+                        broadcast=False, refine_mode="subdivided")
+           .select(*key).collect()}
+    # auto (resolves to subdivided_broadcast from prepared stats, no job),
+    # forced shuffle, and forced broadcast all agree; the prep is reused
+    # across all three joins
+    for mode in ("auto", "subdivided", "subdivided_broadcast"):
+        got = {tuple(r) for r in
+               spatial_join(mentions, prep, predicate="contains",
+                            broadcast=False, refine_mode=mode)
+               .select(*key).collect()}
+        assert got == exp and len(got) > 0, mode
+    # prefilter=False path also consumes the prep
+    got_nf = {tuple(r) for r in
+              spatial_join(mentions, prep, predicate="contains",
+                           broadcast=False, refine_mode="subdivided",
+                           prefilter=False).select(*key).collect()}
+    assert got_nf == exp
+    # WKB-consuming plans cannot run off the prepared state table
+    with pytest.raises(ValueError, match="PreparedRegionsSubdivided"):
+        spatial_join(mentions, prep, broadcast=False, refine_mode="rows")
+    # explicit broadcast of an over-guard state raises at join time
+    prep.fits_broadcast = False
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        spatial_join(mentions, prep, broadcast=False,
+                     refine_mode="subdivided_broadcast")
+    # ...while auto falls back to the shuffling form
+    got_fb = {tuple(r) for r in
+              spatial_join(mentions, prep, predicate="contains",
+                           broadcast=False, refine_mode="auto")
+              .select(*key).collect()}
+    assert got_fb == exp
+
+
+def test_spatial_count_matches_join_rollup(spark, mentions):
+    """spatial_count (aggregate pushdown: full-cell mass via per-cell
+    counts, boundary band via parity refine) must equal the join-then-
+    rollup counts exactly, on the corpus and on antimeridian/pole
+    regions."""
+    from s2geography_spark.core import ops
+    from s2geography_spark.core.geog import from_wkb
+    from s2geography_spark.operators.spatial_join import (
+        prepare_regions_subdivided, spatial_count)
+
+    regions = regions_df(spark, 24, covering_level=8)
+    exp = {(r.region_id, r["count"]) for r in
+           spatial_join(mentions, regions, predicate="contains", level=8)
+           .groupBy("region_id").count().collect()}
+    got = {(r.region_id, r.n) for r in
+           spatial_count(mentions, regions, level=8).collect()}
+    assert got == exp and len(got) > 0
+    # prepared-dim reuse gives the identical result
+    prep = prepare_regions_subdivided(spark, regions)
+    got_p = {(r.region_id, r.n) for r in
+             spatial_count(mentions, prep, level=8).collect()}
+    assert got_p == exp
+    # non-broadcastable state falls back to the shuffle-join boundary term
+    prep.fits_broadcast = False
+    got_s = {(r.region_id, r.n) for r in
+             spatial_count(mentions, prep, level=8).collect()}
+    assert got_s == exp
+
+    # special regions at a fixed level (antimeridian + pole)
+    rows = special_regions_df(spark).collect()
+    fixed = spark.createDataFrame(
+        [(r.region_id, r.name, bytearray(r.geog),
+          [int(c) for c in ops.s2_covering_fixed_level(
+              from_wkb(bytes(r.geog)), 6)]) for r in rows],
+        "region_id long, name string, geog binary, covering array<long>")
+    pts = spark.createDataFrame(
+        [(0, 179.9, 0.0), (1, -179.9, 1.0), (2, 0.0, 89.0),
+         (3, 0.0, 0.0), (4, 150.0, -40.0), (5, 177.0, 3.0)],
+        "pid long, lng double, lat double")
+    exp_s = {(r.region_id, r["count"]) for r in
+             spatial_join(pts, fixed, predicate="contains", broadcast=False,
+                          refine_mode="subdivided", level=6)
+             .groupBy("region_id").count().collect()}
+    got_sp = {(r.region_id, r.n) for r in
+              spatial_count(pts, fixed, level=6).collect()}
+    assert got_sp == exp_s and len(got_sp) > 0
