@@ -90,6 +90,24 @@ def _prepared_regions(spark: SparkSession):
     return _PREPARED_REGIONS[key]
 
 
+_PREPARED_SUBDIVIDED: dict = {}
+
+
+def _prepared_regions_subdivided(spark: SparkSession):
+    """Memoized PreparedRegionsSubdivided for the shuffle-family plans
+    (spatial_count, broadcast=False joins): the exploded per-cell state is
+    the dominant dim-side cost and is reusable across queries, exactly like
+    _prepared_regions for the broadcast path.  Keyed by applicationId."""
+    from s2geography_spark.operators.spatial_join import (
+        prepare_regions_subdivided)
+    key = spark.sparkContext.applicationId
+    if key not in _PREPARED_SUBDIVIDED:
+        _PREPARED_SUBDIVIDED.clear()
+        _PREPARED_SUBDIVIDED[key] = prepare_regions_subdivided(
+            spark, _regions(spark))
+    return _PREPARED_SUBDIVIDED[key]
+
+
 # ---------------------------------------------------------------------------
 # geo queries (the engine's flagship path)
 # ---------------------------------------------------------------------------
@@ -123,7 +141,7 @@ def q_geo_pip_counts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the join-then-rollup answer."""
     from s2geography_spark.operators.spatial_join import spatial_count
     pts = _customer_points(spark, sf_dir)
-    return spatial_count(pts, _regions(spark), level=8,
+    return spatial_count(pts, _prepared_regions_subdivided(spark), level=8,
                          count_col="n_points")
 
 

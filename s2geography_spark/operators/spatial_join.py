@@ -58,6 +58,16 @@ def leaf_cell_udf(lng: pd.Series, lat: pd.Series) -> pd.Series:
     return out
 
 
+# the join-key derivation instance: the UDF is pure, but Catalyst inlines
+# deterministic expressions into the join's inferred isnotnull(key) filter
+# BELOW the projection, leaving two stacked ArrowEvalPython nodes that each
+# run the UDF over every fact row (measured: 2x the Python leaf cost on
+# corpora without a stored leaf).  asNondeterministic() forbids the
+# duplication, so the leaf computes ONCE and downstream expressions
+# reference the materialized column.
+_leaf_cell_udf_once = leaf_cell_udf.asNondeterministic()
+
+
 def _pip_refine_udf(model: str = "semi_open"):
     """Vectorized refine factory: polygon WKB (repeating) x point lng/lat.
 
@@ -649,7 +659,8 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     elif leaf_col is not None:
         pts = points.withColumn("_leaf", F.col(leaf_col))
     else:
-        pts = points.withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
+        pts = points.withColumn("_leaf",
+                                _leaf_cell_udf_once(F.col(lng), F.col(lat)))
     if key_col is not None:
         pass
     elif level is not None:
@@ -805,61 +816,99 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         state_bcast = refine_mode == "subdivided_broadcast"
         if state_bcast:
             salt = 0
-        if prefilter and not state_bcast:
-            # runtime semi-join reduction BEFORE the fact-side exchange
-            # (the manual form of Spark's semi-join runtime filter, which
-            # is off by default): only fact rows whose cell key appears in
-            # the dim covering can possibly join — every other row rides
-            # the shuffle just to miss the hash probe.  The dim's DISTINCT
-            # key set is 8 B/cell, so it broadcasts even when neither the
-            # WKB nor the subdivided state can.  The exchange is the
-            # bandwidth-bound stage of this path at scale; on the bench
-            # corpus this drops ~94% of fact rows before it.
-            keys = sub_prep.keys if sub_prep is not None else \
-                regions.select(F.explode(covering_col).alias("_c")) \
-                .select(cell_join_key(F.col("_c")).alias("_ckf")).distinct()
-            pts = pts.join(F.broadcast(keys),
-                           pts["_ckp"] == keys["_ckf"], "left_semi")
-        if salt:
-            nsalt = int(salt)
-            salt_src = F.hash(F.col("_leaf")) if leaf_mode \
-                else F.hash(F.col(lng), F.col(lat))
-            pts = pts.withColumn("_salt", F.pmod(salt_src, F.lit(nsalt)))
-            exploded = exploded.withColumn(
-                "_salt_r", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
-        if leaf_mode:
-            # no lng/lat JVM-side: the level-L cell match is the prefilter
-            cond = pts["_ckp"] == exploded["_ck"]
-        else:
-            eps = 1e-9
-            lat_ok = (pts[lat] >= exploded["_ymin"] - eps) & \
-                (pts[lat] <= exploded["_ymax"] + eps)
-            lng_in = F.when(
-                exploded["_xmin"] <= exploded["_xmax"],
-                (pts[lng] >= exploded["_xmin"] - eps)
-                & (pts[lng] <= exploded["_xmax"] + eps)
-            ).otherwise((pts[lng] >= exploded["_xmin"] - eps)
-                        | (pts[lng] <= exploded["_xmax"] + eps))
-            bbox_ok = exploded["_xmin"].isNull() | (lat_ok & lng_in)
-            cond = (pts["_ckp"] == exploded["_ck"]) & bbox_ok
-        if salt:
-            cond = cond & (pts["_salt"] == exploded["_salt_r"])
-        cand = pts.join(
-            F.broadcast(exploded) if state_bcast
-            else exploded.hint("SHUFFLE_HASH"), cond, "inner")
         drop_cols = ["_ckp", "_ck", "_full", "_state",
                      "_xmin", "_ymin", "_xmax", "_ymax"] \
             + (["_salt", "_salt_r"] if salt else []) \
             + (["_leaf"] if leaf_mode else [])
-        # interior-cell candidates skip the parity refine entirely (their
-        # _state is already null, so Arrow ships a null bitmap)
+
+        def _cond(e, p, salted: bool):
+            """Join condition against dim slice `e` for fact side `p`:
+            cell-key equality, bbox prefilter (skipped in leaf mode), and
+            the salt replica match when `salted`."""
+            c = p["_ckp"] == e["_ck"]
+            if not leaf_mode:
+                eps = 1e-9
+                lat_ok = (p[lat] >= e["_ymin"] - eps) & \
+                    (p[lat] <= e["_ymax"] + eps)
+                lng_in = F.when(
+                    e["_xmin"] <= e["_xmax"],
+                    (p[lng] >= e["_xmin"] - eps)
+                    & (p[lng] <= e["_xmax"] + eps)
+                ).otherwise((p[lng] >= e["_xmin"] - eps)
+                            | (p[lng] <= e["_xmax"] + eps))
+                c = c & (e["_xmin"].isNull() | (lat_ok & lng_in))
+            if salted:
+                c = c & (p["_salt"] == e["_salt_r"])
+            return c
+
         refine = parity_refine_leaf_udf(F.col("_state"), F.col("_leaf")) \
             if leaf_mode else \
             parity_refine_udf(F.col("_state"), F.col(lng), F.col(lat))
-        refined = cand.where(
-            F.when(F.col("_full"), F.lit(True))
-            .otherwise(F.coalesce(refine, F.lit(False))))
-        return refined.drop(*drop_cols)
+        if state_bcast:
+            # state fits a broadcast: fact side is map-only (one scan,
+            # zero fact exchange); interior candidates pass with a NULL
+            # state blob (a null bitmap on the wire)
+            cand = pts.join(F.broadcast(exploded), _cond(exploded, pts, False),
+                            "inner")
+            refined = cand.where(
+                F.when(F.col("_full"), F.lit(True))
+                .otherwise(F.coalesce(refine, F.lit(False))))
+            return refined.drop(*drop_cols)
+
+        # FULL/BOUNDARY dim split (round 5): candidates matched through a
+        # provably-interior covering cell are contained by construction,
+        # yet they used to ride the exchange AND the Arrow hop anyway (a
+        # pandas UDF is evaluated on every row of its projection; F.when
+        # cannot short-circuit it) — and on the bench corpus they are ~2/3
+        # of all candidates.
+        if sub_prep is None and prefilter:
+            # one state-UDF pass total: the full slice's broadcast build,
+            # the boundary join side, and the boundary key set would each
+            # re-run the per-region subdivided_state_udf otherwise
+            exploded = exploded.localCheckpoint(eager=True)
+        ex_f = exploded.where(F.col("_full")).drop("_state")
+        ex_b = exploded.where(~F.col("_full"))
+        if prefilter:
+            # The interior (cell -> region) map has the SAME cardinality as
+            # the semi-join prefilter key set — if one broadcasts, so does
+            # the other.  So the interior mass joins MAP-ONLY (broadcast
+            # inner join, no bbox test needed: a full cell lies inside the
+            # region, hence inside its bbox) and never reaches the
+            # exchange; only the boundary band (fact rows whose key is a
+            # non-full covering cell — a broadcast left-semi picks them
+            # out) rides the salted hash exchange and the parity refine.
+            # At 100 TB the exchange+Python volume is the boundary
+            # fraction, not the candidate count.  prefilter=False opts out
+            # of BOTH broadcasts (keys assumed non-broadcastable): the two
+            # slices then hash-join the identical fact child and
+            # Catalyst's ReuseExchange materializes the fact shuffle once.
+            cand_f = pts.join(F.broadcast(ex_f), _cond(ex_f, pts, False),
+                              "inner")
+            bkeys = ex_b.select(F.col("_ck").alias("_ckf")).distinct()
+            ptsb = pts.join(F.broadcast(bkeys),
+                            pts["_ckp"] == bkeys["_ckf"], "left_semi")
+        else:
+            cand_f = None
+            ptsb = pts
+        if salt:
+            nsalt = int(salt)
+            salt_src = F.hash(F.col("_leaf")) if leaf_mode \
+                else F.hash(F.col(lng), F.col(lat))
+            ptsb = ptsb.withColumn("_salt", F.pmod(salt_src, F.lit(nsalt)))
+            ex_b = ex_b.withColumn(
+                "_salt_r", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
+        cand_b = ptsb.join(ex_b.hint("SHUFFLE_HASH"),
+                           _cond(ex_b, ptsb, bool(salt)), "inner")
+        refined_b = cand_b.where(F.coalesce(refine, F.lit(False)))
+        if cand_f is None:
+            ex_fs = ex_f.withColumn(
+                "_salt_r",
+                F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1)))) \
+                if salt else ex_f
+            cand_f = ptsb.join(ex_fs.hint("SHUFFLE_HASH"),
+                               _cond(ex_fs, ptsb, bool(salt)), "inner")
+        return cand_f.drop(*drop_cols).unionByName(
+            refined_b.drop(*drop_cols))
 
     if refine_mode == "index":
         n_idx = regions.select(F.sum(F.size(covering_col))).collect()[0][0]
@@ -934,21 +983,24 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         # SHUFFLE_HASH on the small exploded dim: without the hint the
         # extra bbox condition makes Catalyst pick SortMergeJoin, which
         # SORTS the whole fact side — the dominant cost at 10^8 rows
-        cand = pts.join(exploded.hint("SHUFFLE_HASH"), cond, "inner")
         model = "semi_open" if predicate == "contains" else "closed"
         drop_cols = ["_ckp", "_ck", "_full", "_xmin", "_ymin", "_xmax",
                      "_ymax"] + (["_salt", "_salt_r"] if salt else [])
-        # interior-cell shortcut on the Arrow hop: candidates matched
-        # through a provably-interior cell pass with a NULL WKB argument
-        # (a null bitmap on the wire), so the Python refine's repeated-WKB
-        # transfer only pays for boundary-cell candidates
+        # FULL/BOUNDARY dim split (round 5, same as the subdivided branch):
+        # interior-cell candidates are contained by construction and never
+        # enter the Python refine — not even as null-WKB rows, which still
+        # paid the per-row Arrow transfer of lng/lat.  Both joins
+        # hash-partition the identical fact child, so the fact shuffle is
+        # materialized once (ReuseExchange).
+        ex_f = exploded.where(F.col("_full"))
+        ex_b = exploded.where(~F.col("_full"))
+        cand_f = pts.join(ex_f.hint("SHUFFLE_HASH"), cond, "inner")
+        cand_b = pts.join(ex_b.hint("SHUFFLE_HASH"), cond, "inner")
         refine = _pip_refine_udf(model)(
-            F.when(~F.col("_full"), F.col(region_geog)),
-            F.col(lng), F.col(lat))
-        refined = cand.where(
-            F.when(F.col("_full"), F.lit(True))
-            .otherwise(F.coalesce(refine, F.lit(False))))
-        return refined.drop(*drop_cols)
+            F.col(region_geog), F.col(lng), F.col(lat))
+        refined_b = cand_b.where(F.coalesce(refine, F.lit(False)))
+        return cand_f.drop(*drop_cols).unionByName(
+            refined_b.drop(*drop_cols))
 
     # refine_mode == "cogroup": ids-only shuffle join then cogroup refine
     exploded = (regions

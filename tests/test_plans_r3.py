@@ -156,3 +156,47 @@ def test_spatial_count_partial_agg_before_exchange(spark):
     assert "LeftSemi" in plan            # boundary band pruned pre-refine
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_subdivided_split_interior_map_only(spark):
+    """Round-5 FULL/BOUNDARY split: with the prefilter on, the interior
+    (full-cell) mass must join through a BROADCAST hash join (map-only, no
+    fact-side exchange) and only the boundary band may hash-exchange; the
+    parity-refine Python node must sit on the boundary branch only (one
+    ArrowEvalPython in the whole plan)."""
+    from s2geography_spark.operators.spatial_join import spatial_join
+    from s2geography_spark.sources.regions import regions_df
+    pts = spark.createDataFrame(
+        [(x + 0.5, y + 0.5) for x in range(-150, 150, 10)
+         for y in range(-60, 60, 10)], "lng double, lat double")
+    j = spatial_join(pts, regions_df(spark, 24, covering_level=6),
+                     predicate="contains", broadcast=False, salt=4, level=6,
+                     refine_mode="subdivided")
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan          # interior map-only join
+    assert "ShuffledHashJoin" in plan           # boundary band
+    # one leaf-udf eval per branch (asNondeterministic stops Catalyst
+    # duplicating it into the inferred isnotnull filter) + ONE refine
+    assert plan.count("ArrowEvalPython") <= 3
+    assert "parity_refine" in plan
+    # the refine must appear once (boundary branch), not on both branches
+    assert plan.count("parity_refine_udf") == 1
+
+
+def test_subdivided_split_noprefilter_reuses_fact_exchange(spark):
+    """prefilter=False opts out of every dim broadcast: the two dim slices
+    hash-join the identical fact child and the fact exchange must be
+    materialized once (AQE ReusedExchange / ShuffleQueryStage reuse), not
+    twice."""
+    from s2geography_spark.operators.spatial_join import spatial_join
+    from s2geography_spark.sources.regions import regions_df
+    pts = spark.createDataFrame(
+        [(x + 0.5, y + 0.5) for x in range(-150, 150, 10)
+         for y in range(-60, 60, 10)], "lng double, lat double")
+    j = spatial_join(pts, regions_df(spark, 24, covering_level=6),
+                     predicate="contains", broadcast=False, salt=4, level=6,
+                     refine_mode="subdivided", prefilter=False)
+    agg = j.groupBy("region_id").count()
+    agg.collect()  # AQE finalizes reuse only at execution
+    plan = _plan(agg)
+    assert "ReusedExchange" in plan, plan
