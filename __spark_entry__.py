@@ -654,6 +654,59 @@ def q_events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("user_id"))
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk SEQUENCE PACKING (operators/packing.py, round 5):
+    the standard pretraining layout — documents concatenated per shard in
+    doc_id order and sliced into capacity-512 training chunks, a doc
+    spanning chunk boundaries, several docs sharing a chunk.  The whole
+    assignment is closed-form Catalyst (per-shard window prefix sum +
+    sequence explode; deliberately NO global-order variant — a global
+    prefix sum is a total sort and does not exist at 100 TB).  The oracle
+    replicates the prefix-sum interval arithmetic verbatim."""
+    from s2geography_spark.operators.packing import pack_chunks
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_chunks(docs, text="text", id_col="doc_id",
+                       capacity=512, n_shards=16)
+
+
+def q_stream_region_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SPATIAL ENRICHMENT oracle (round 5): the full
+    stream->geo->window pipeline a real-time geo feed runs.  Events are
+    staged as 8 parquet files and replayed as 8 microbatches
+    (maxFilesPerTrigger=1); each event gets a deterministic point
+    (closed-form arithmetic on event_id, replicated verbatim in the
+    oracle SQL), is tagged with its containing region through the SAME
+    stream-static broadcast cover join + PIP refine the batch flagship
+    uses (stateless, so it runs per microbatch), then a 1-hour tumbling
+    window counts events per (region, window) in COMPLETE output mode —
+    the drained memory sink must equal the closed-form batch SQL exactly:
+    a microbatch-boundary state bug (lost or double-counted window
+    increments) breaks the value hash."""
+    from s2geography_spark.streaming.events import (run_stream_to_memory,
+                                                    stream_events_from_parquet)
+    from s2geography_spark.streaming.geo import streaming_spatial_tag
+    import uuid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = f"/tmp/s2stream_regionwin_{os.path.basename(sf_dir.rstrip('/'))}"
+    ev.repartition(8).write.mode("overwrite").parquet(staged)
+    stream = stream_events_from_parquet(spark, staged, ev.schema)
+    pts = (stream
+           .withColumn("lng", ((F.col("event_id") * 37) % 352)
+                       .cast("double") - 176 + 0.5)
+           .withColumn("lat", ((F.col("event_id") * 61) % 116)
+                       .cast("double") - 58 + 0.5))
+    tagged = streaming_spatial_tag(pts, _prepared_regions(spark), level=8)
+    agg = (tagged
+           .groupBy(F.col("region_id"), F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n_events"))
+           .select("region_id", F.col("w.start").alias("window_start"),
+                   "n_events"))
+    name = f"regionwin_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-bounded STREAMING dedup
     (streaming/events.streaming_dedup -> dropDuplicatesWithinWatermark):
@@ -1894,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_probe": q_media_probe,
         "events_first_seen": q_events_first_seen,
         "stream_dedup": q_stream_dedup,
+        "stream_region_window": q_stream_region_window,
+        "seq_packing": q_seq_packing,
         "text_quality": q_text_quality,
         "hex_tiles": q_hex_tiles,
         "projections": q_projections,
@@ -2515,6 +2570,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT md5(substring(text, 1, 32)) AS digest,
                min(doc_id) AS keep_id
         FROM documents GROUP BY 1
+    """
+
+    # sequence packing: identical prefix-sum interval arithmetic; DuckDB
+    # generate_series is inclusive like F.sequence, // is integer division
+    sqls["seq_packing"] = r"""
+        WITH t AS (
+          SELECT doc_id, doc_id % 16 AS shard,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(length(regexp_split_to_array(trim(text),
+                                                             '\s+')) AS BIGINT)
+                 END AS n
+          FROM documents),
+        s AS (
+          SELECT doc_id, shard, n,
+                 CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id)
+                      AS BIGINT) AS e
+          FROM t),
+        x AS (SELECT doc_id, shard, n, e, e - n AS st FROM s WHERE n > 0)
+        SELECT doc_id, shard, n AS n_tokens, u.chunk_id,
+               greatest(st, u.chunk_id * 512) AS tok_start,
+               least(e, (u.chunk_id + 1) * 512) AS tok_end,
+               greatest(st, u.chunk_id * 512) - st AS doc_off
+        FROM x, unnest(generate_series(st // 512, (e - 1) // 512))
+               AS u(chunk_id)
+    """
+
+    # streaming spatial enrichment + tumbling window == closed-form batch
+    # SQL: deterministic event points, strict rectangle containment (the
+    # points sit at half-integer offsets, region corners are integers, so
+    # the PIP semi-open boundary convention never engages)
+    sqls["stream_region_window"] = f"""
+        WITH pts AS (
+            SELECT event_id, ts,
+                   CAST((event_id * 37) % 352 AS DOUBLE) - 176 + 0.5 AS lng,
+                   CAST((event_id * 61) % 116 AS DOUBLE) - 58 + 0.5 AS lat
+            FROM events),
+        regions AS ({_REG_SQL})
+        SELECT r.region_id,
+               time_bucket(INTERVAL '1 hour', p.ts) AS window_start,
+               count(*) AS n_events
+        FROM pts p JOIN regions r
+          ON  p.lng > r.lng0 AND p.lng < r.lng1
+          AND p.lat > r.lat0 AND p.lat < r.lat1
+        GROUP BY 1, 2
     """
 
     # four snapshot-consistent reads of the Iceberg-lite table reduce to

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cell_lsb", "cell_level", "cell_parent", "cell_range_min",
     "cell_range_max", "cell_contains", "cell_ord", "cell_token",
-    "cell_is_valid", "cell_join_key", "cell_child",
+    "cell_is_valid", "cell_join_key", "cell_child", "with_leaf_cell",
 ]
 
 _LONG_MIN = -(1 << 63)
@@ -99,3 +99,133 @@ def cell_token(cid: Column) -> Column:
     stripped = F.regexp_replace(h, "0+$", "")
     return F.when(cid == 0, F.lit("X")).otherwise(
         F.when(stripped == "", F.lit("X")).otherwise(stripped))
+
+
+_LOOKUP_SQL: str | None = None
+
+
+def _lookup_pos_sql() -> str:
+    """The 1024-entry S2 Hilbert lookup table (ij+orientation -> position+
+    orientation, 4 levels per step) as SQL array-literal text — parsed
+    JVM-side and constant-folded to one Literal per reference."""
+    global _LOOKUP_SQL
+    if _LOOKUP_SQL is None:
+        from ..core.cellid import _LOOKUP_POS
+        _LOOKUP_SQL = "array(" + ",".join(str(int(v))
+                                          for v in _LOOKUP_POS) + ")"
+    return _LOOKUP_SQL
+
+
+def with_leaf_cell(df, lng: str = "lng", lat: str = "lat",
+                   out: str = "_leaf"):
+    """Add `out` = LEAF cell id of columns (lng, lat) in degrees as PURE
+    Catalyst expressions — the whole-stage-codegen form of
+    core.cellid.from_lnglat (same quadratic face/uv/st projection, same
+    4-bit lookup-table Hilbert encode, bit-identical output asserted in
+    tests/test_cells_column.py).
+
+    This removes the last Python hop from the spatial join's fact-side key
+    derivation: corpora WITHOUT a stored leaf column used to pay an
+    ArrowEvalPython pass (leaf_cell_udf) over every row before the cover
+    join; this form keeps the scan -> key -> join pipeline entirely inside
+    codegen.  NULL lng/lat propagates to NULL.
+
+    Shape matters, twice over:
+
+    * It is a DataFrame transform of ~12 CHAINED PROJECTIONS, not one
+      Column: each Hilbert round's state feeds the next round twice
+      (position bits into the id, orientation bits onward), so a monolithic
+      expression doubles per round — 2^8 copies of the trig subtree, which
+      blew Catalyst planning past the driver heap.  With projections every
+      round references the previous state as an ATTRIBUTE and the plan
+      stays linear (CollapseProject keeps non-cheap multiply-referenced
+      aliases in their own projection).
+    * Expressions are SQL-STRING selectExpr steps, not pyspark Column
+      algebra: building this chain Column-by-Column cost ~1.3 s of py4j
+      round trips per QUERY CONSTRUCTION on the driver (measured on the
+      flagship bench); ~13 selectExpr calls parse JVM-side in ~50 ms.
+
+    The `out` column carries a rand()*0 term: PushDownPredicates
+    substitutes aliases when moving a predicate below a projection, so a
+    join's inferred isnotnull(key) filter would otherwise be rewritten
+    through the whole chain — re-doubling at every alias referenced twice.
+    rand()*0 adds exactly 0 but marks the column nondeterministic, which
+    no optimizer rule will duplicate or push through — the same barrier
+    the old pandas-UDF derivation provided, without the Arrow hop.
+    Downstream joins use the attribute, which stays deterministic.
+
+    Numeric note: trig comes from the JVM's Math.cos/sin vs NumPy's libm
+    in the UDF form; both are <=1 ulp and the equality test covers a dense
+    grid, random points, poles, and the antimeridian."""
+    t = "_s2leaf"
+    lngq, latq = f"`{lng}`", f"`{lat}`"
+    exprs = []
+    exprs.append(
+        f"cos(radians(cast({lngq} as double))) * "
+        f"cos(radians(cast({latq} as double))) AS {t}_x")
+    exprs.append(
+        f"sin(radians(cast({lngq} as double))) * "
+        f"cos(radians(cast({latq} as double))) AS {t}_y")
+    exprs.append(f"sin(radians(cast({latq} as double))) AS {t}_z")
+    x, y, z = f"{t}_x", f"{t}_y", f"{t}_z"
+    # largest-|component| face, tie toward the higher axis index
+    exprs.append(
+        f"CASE WHEN abs({x}) > abs({y}) THEN "
+        f"(CASE WHEN abs({x}) > abs({z}) THEN 0 ELSE 2 END) ELSE "
+        f"(CASE WHEN abs({y}) > abs({z}) THEN 1 ELSE 2 END) END AS {t}_f0")
+    comp = (f"CASE WHEN {t}_f0 = 0 THEN {x} WHEN {t}_f0 = 1 THEN {y} "
+            f"ELSE {z} END")
+    exprs.append(
+        f"cast(CASE WHEN {comp} < 0 THEN {t}_f0 + 3 ELSE {t}_f0 END "
+        f"AS bigint) AS {t}_face")
+    fc = f"{t}_face"
+    u = (f"CASE WHEN {fc} = 0 THEN {y}/{x} WHEN {fc} = 1 THEN -{x}/{y} "
+         f"WHEN {fc} = 2 THEN -{x}/{z} WHEN {fc} = 3 THEN {z}/{x} "
+         f"WHEN {fc} = 4 THEN {z}/{y} ELSE -{y}/{z} END")
+    v = (f"CASE WHEN {fc} = 0 THEN {z}/{x} WHEN {fc} = 1 THEN {z}/{y} "
+         f"WHEN {fc} = 2 THEN -{y}/{z} WHEN {fc} = 3 THEN {y}/{x} "
+         f"WHEN {fc} = 4 THEN -{x}/{y} ELSE -{x}/{z} END")
+
+    def ij(w):  # quadratic uv -> st -> clamped 30-bit integer
+        st = (f"CASE WHEN ({w}) >= 0 THEN 0.5d * sqrt(1.0d + 3.0d * ({w})) "
+              f"ELSE 1.0d - 0.5d * sqrt(1.0d - 3.0d * ({w})) END")
+        return (f"greatest(cast(0 as bigint), least(cast({(1 << 30) - 1} "
+                f"as bigint), floor({float(1 << 30)}d * ({st}))))")
+
+    exprs.append(f"{ij(u)} AS {t}_i")
+    exprs.append(f"{ij(v)} AS {t}_j")
+    exprs.append(f"{fc} & cast(1 as bigint) AS {t}_b8")    # kSwapMask
+    exprs.append(f"shiftleft({fc}, 60) AS {t}_n8")
+    # the lookup table as ONE lateral alias: embedding its 6 KB literal
+    # text in all 8 rounds cost ~0.75 s of parse time per construction;
+    # ConstantFolding turns the alias into a single Literal, and
+    # CollapseProject freely inlines literal references, so each
+    # element_at is still a plain JVM array index
+    exprs.append(f"{_lookup_pos_sql()} AS {t}_tab")
+    for k in range(7, -1, -1):
+        idx = (f"{t}_b{k + 1}"
+               f" + shiftleft(shiftrightunsigned({t}_i, {4 * k}) & 15, 6)"
+               f" + shiftleft(shiftrightunsigned({t}_j, {4 * k}) & 15, 2)")
+        exprs.append(
+            f"cast(element_at({t}_tab, cast({idx} + 1 as int)) as bigint) "
+            f"AS {t}_l{k}")
+        exprs.append(
+            f"{t}_n{k + 1} | shiftleft(shiftrightunsigned({t}_l{k}, 2), "
+            f"{8 * k}) AS {t}_n{k}")
+        exprs.append(f"{t}_l{k} & 3 AS {t}_b{k}")
+    # *2+1 via shift: the face-5 high bit wraps, which ANSI `*` would
+    # reject.  Explicit NULL gate: greatest/least SKIP nulls (a null ij
+    # would otherwise clamp to 0 and encode a spurious valid cell).
+    exprs.append(
+        f"CASE WHEN {lngq} IS NULL OR {latq} IS NULL THEN "
+        f"cast(NULL as bigint) ELSE "
+        f"(shiftleft({t}_n0, 1) | 1) + cast(rand(7) * 0.0d as bigint) "
+        f"END AS `{out}`")
+    tmp = [f"{t}_{c}" for c in ("x", "y", "z", "f0", "face", "i", "j",
+                                "tab")] + \
+        [f"{t}_{c}{k}" for c in ("n", "b", "l") for k in range(9)]
+    # ONE selectExpr: lateral column aliases (Spark >= 3.4) let later
+    # expressions reference earlier aliases inside the same SELECT; the
+    # analyzer rewrites them into the nested projections this chain needs,
+    # in a single py4j call and a single analysis pass
+    return df.selectExpr("*", *exprs).drop(*tmp)

@@ -43,7 +43,7 @@ from pyspark.sql.functions import pandas_udf
 from ..core import cellid as C
 from ..core import sphere
 from ..core.geog import from_wkb
-from ..functions.cells import cell_join_key, cell_parent
+from ..functions.cells import cell_join_key, cell_parent, with_leaf_cell
 
 
 @pandas_udf(T.LongType())
@@ -57,15 +57,6 @@ def leaf_cell_udf(lng: pd.Series, lat: pd.Series) -> pd.Series:
         out[bad] = None
     return out
 
-
-# the join-key derivation instance: the UDF is pure, but Catalyst inlines
-# deterministic expressions into the join's inferred isnotnull(key) filter
-# BELOW the projection, leaving two stacked ArrowEvalPython nodes that each
-# run the UDF over every fact row (measured: 2x the Python leaf cost on
-# corpora without a stored leaf).  asNondeterministic() forbids the
-# duplication, so the leaf computes ONCE and downstream expressions
-# reference the materialized column.
-_leaf_cell_udf_once = leaf_cell_udf.asNondeterministic()
 
 
 def _pip_refine_udf(model: str = "semi_open"):
@@ -522,7 +513,7 @@ def choose_salt(points: DataFrame, *, lng: str = "lng", lat: str = "lat",
     sample = points.sample(fraction=sample_fraction, seed=42) if \
         sample_fraction < 1.0 else points
     hist = (sample
-            .withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
+            .transform(lambda d: with_leaf_cell(d, lng, lat, "_leaf"))
             .withColumn("_cell", cell_parent(F.col("_leaf"), int(level)))
             .groupBy("_cell").count())
     stats = hist.agg(F.max("count").alias("mx"), F.avg("count").alias("avg")) \
@@ -659,8 +650,10 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     elif leaf_col is not None:
         pts = points.withColumn("_leaf", F.col(leaf_col))
     else:
-        pts = points.withColumn("_leaf",
-                                _leaf_cell_udf_once(F.col(lng), F.col(lat)))
+        # pure-Column Hilbert encode (functions/cells.with_leaf_cell):
+        # the key derivation stays inside whole-stage codegen — no Arrow
+        # hop, and nothing for Catalyst to duplicate into inferred filters
+        pts = with_leaf_cell(points, lng, lat, "_leaf")
     if key_col is not None:
         pass
     elif level is not None:
@@ -1069,8 +1062,7 @@ def spatial_count(points: DataFrame, regions, *,
     if leaf_col is not None:
         pts = points.withColumn("_leaf", F.col(leaf_col))
     else:
-        pts = points.withColumn("_leaf",
-                                leaf_cell_udf(F.col(lng), F.col(lat)))
+        pts = with_leaf_cell(points, lng, lat, "_leaf")
     pts = (pts.withColumn(
         "_ckp", cell_join_key(cell_parent(F.col("_leaf"), int(level))))
         .select("_ckp", lng, lat))
@@ -1582,7 +1574,7 @@ def dwithin_join(points: DataFrame, regions: DataFrame, radius_m: float, *,
            .distinct()
            .withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell"))
     cand = (points
-            .withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat)))
+            .transform(lambda d: with_leaf_cell(d, lng, lat, "_leaf"))
             .withColumn("_ck", cell_join_key(cell_parent(F.col("_leaf"), lev)))
             .join(dim, "_ck").drop("_ck", "_leaf"))
     cand = cand.join(regions.select(region_id, region_geog), region_id)
@@ -1648,7 +1640,7 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     # chain recomputes every earlier round's candidate join + window on
     # each action (observed 2x+ wall-clock on the sf0.1 bench)
     remaining = points.select(point_id, lng, lat) \
-        .withColumn("_leaf", leaf_cell_udf(F.col(lng), F.col(lat))) \
+        .transform(lambda d: with_leaf_cell(d, lng, lat, "_leaf")) \
         .persist()
     n_remaining = remaining.count()
     resolved_parts = []

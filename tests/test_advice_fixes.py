@@ -262,10 +262,14 @@ def test_dedup_queries_cached_blocks_bounded(spark, tmp_path):
         E.queries()["minhash_lsh"](spark, sf_dir).count()
         E.queries()["simhash"](spark, sf_dir).count()
         counts.append(n_cached())
-    # bounded at one live frame per query, and NOT growing run-over-run
+    # bounded at one live frame per query, and NOT growing run-over-run.
+    # <= rather than == throughout: blocks owned by OTHER objects (e.g. a
+    # localCheckpoint whose DataFrame was gc'd) may be freed by the
+    # ContextCleaner at any moment, so the baseline can only shrink —
+    # the invariant under test is that THIS loop leaks nothing new.
     assert counts[-1] <= base + 2
-    assert counts[-1] == counts[0]
-    # releasing the registry drops back to the baseline
+    assert counts[-1] <= counts[0]
+    # releasing the registry drops back to (at most) the baseline
     for key in list(E._LIVE_CACHE):
         E._LIVE_CACHE.pop(key)[1].unpersist(blocking=True)
-    assert n_cached() == base
+    assert n_cached() <= base

@@ -175,11 +175,9 @@ def test_subdivided_split_interior_map_only(spark):
     plan = _plan(j)
     assert "BroadcastHashJoin" in plan          # interior map-only join
     assert "ShuffledHashJoin" in plan           # boundary band
-    # one leaf-udf eval per branch (asNondeterministic stops Catalyst
-    # duplicating it into the inferred isnotnull filter) + ONE refine
-    assert plan.count("ArrowEvalPython") <= 3
-    assert "parity_refine" in plan
-    # the refine must appear once (boundary branch), not on both branches
+    # the leaf/key derivation is a pure Column (leaf_from_lnglat), so the
+    # ONLY Python node in the whole plan is the boundary-branch refine
+    assert plan.count("ArrowEvalPython") == 1
     assert plan.count("parity_refine_udf") == 1
 
 
