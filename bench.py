@@ -347,7 +347,7 @@ def main():
         "ann_topk", "embedding_near_dup", "lineitem_agg", "events_window",
         "events_sessions", "text_quality", "geo_zm_interp", "media_stats",
         "text_repetition", "url_canon", "html_text", "vector_tiles_z6",
-        "geo_pip_counts_agg",
+        "geo_pip_counts_agg", "seq_packing",
     ]
     qs = entry_mod.queries()
     # one untimed warmup execution per query: on this JVM the FIRST run of
