@@ -117,12 +117,25 @@ def _lookup_pos_sql() -> str:
 
 
 def with_leaf_cell(df, lng: str = "lng", lat: str = "lat",
-                   out: str = "_leaf"):
+                   out: str = "_leaf", level: int | None = None):
     """Add `out` = LEAF cell id of columns (lng, lat) in degrees as PURE
     Catalyst expressions — the whole-stage-codegen form of
     core.cellid.from_lnglat (same quadratic face/uv/st projection, same
     4-bit lookup-table Hilbert encode, bit-identical output asserted in
     tests/test_cells_column.py).
+
+    level: when set, `out` is the VALID CELL ID AT that level (bit-identical
+    to cell_parent(leaf, level), asserted in tests) computed with only
+    ceil((level+2)/4) Hilbert lookup rounds instead of all 8.  The S2
+    Hilbert encode is a prefix code — round k yields the position bits of
+    levels 4*(7-k)-1..4*(7-k)+2 (round 7 yields levels 1-2), so a level-L
+    ancestor needs only the first rounds and the rest of the chain can be
+    dropped.  This is a PLANNING optimization, not an execution one: the
+    fixed-level join queries (level 8) embed this chain in every branch of
+    their plan, and Catalyst analysis/optimization/AQE-re-optimization time
+    is linear in the chain length — measured 7-12 s of single-threaded
+    driver CPU per geo_pip_counts_agg execution with the full chain at
+    sf0.1, the dominant cost of the whole query (r6 optimization round).
 
     This removes the last Python hop from the spatial join's fact-side key
     derivation: corpora WITHOUT a stored leaf column used to pay an
@@ -202,7 +215,17 @@ def with_leaf_cell(df, lng: str = "lng", lat: str = "lat",
     # CollapseProject freely inlines literal references, so each
     # element_at is still a plain JVM array index
     exprs.append(f"{_lookup_pos_sql()} AS {t}_tab")
-    for k in range(7, -1, -1):
+    if level is None:
+        rounds = 8
+    else:
+        if not 0 <= int(level) <= 30:
+            raise ValueError(f"level must be in 0..30 (got {level})")
+        # round k covers levels up to 2 + 4*(7-k); need the first R rounds
+        # with 4R-2 >= level (round 7 contributes only 2 levels: i/j are
+        # 30-bit, so (i >> 28) & 15 has its top two bits always zero)
+        rounds = min(8, max(1, -(-(int(level) + 2) // 4)))
+    k_last = 8 - rounds
+    for k in range(7, k_last - 1, -1):
         idx = (f"{t}_b{k + 1}"
                f" + shiftleft(shiftrightunsigned({t}_i, {4 * k}) & 15, 6)"
                f" + shiftleft(shiftrightunsigned({t}_j, {4 * k}) & 15, 2)")
@@ -216,10 +239,26 @@ def with_leaf_cell(df, lng: str = "lng", lat: str = "lat",
     # *2+1 via shift: the face-5 high bit wraps, which ANSI `*` would
     # reject.  Explicit NULL gate: greatest/least SKIP nulls (a null ij
     # would otherwise clamp to 0 and encode a spurious valid cell).
+    if level is None or rounds == 8:
+        cell = f"(shiftleft({t}_n0, 1) | 1)"
+        if level is not None and int(level) < 30:
+            # parent bit math inline (op/cell.cc:103-123)
+            new_lsb = 1 << (2 * (30 - int(level)))
+            cell = f"(({cell} & {-new_lsb}L) | {new_lsb}L)"
+    else:
+        # cell id at the truncated chain's own level L0 = 4*rounds - 2:
+        # position bits of levels 1..L0 sit in n_{k_last}'s top bits; the
+        # level-L0 trailing-one marker is bit 2*(30-L0) = 64 - 8*rounds
+        marker = 1 << (64 - 8 * rounds)
+        cell = f"(shiftleft({t}_n{k_last}, 1) | {marker}L)"
+        l0 = 4 * rounds - 2
+        if int(level) < l0:
+            new_lsb = 1 << (2 * (30 - int(level)))
+            cell = f"(({cell} & {-new_lsb}L) | {new_lsb}L)"
     exprs.append(
         f"CASE WHEN {lngq} IS NULL OR {latq} IS NULL THEN "
         f"cast(NULL as bigint) ELSE "
-        f"(shiftleft({t}_n0, 1) | 1) + cast(rand(7) * 0.0d as bigint) "
+        f"{cell} + cast(rand(7) * 0.0d as bigint) "
         f"END AS `{out}`")
     tmp = [f"{t}_{c}" for c in ("x", "y", "z", "f0", "face", "i", "j",
                                 "tab")] + \

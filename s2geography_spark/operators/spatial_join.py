@@ -649,6 +649,18 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         pts = points.withColumn("_leaf", F.lit(None).cast("long"))             .withColumn("_ck", F.col(key_col))
     elif leaf_col is not None:
         pts = points.withColumn("_leaf", F.col(leaf_col))
+    elif level is not None:
+        # pure-Column Hilbert encode TRUNCATED at the join level
+        # (functions/cells.with_leaf_cell(level=...)): same codegen'd
+        # chain, but only the lookup rounds the level-L ancestor needs —
+        # the full 8-round chain's Catalyst planning cost (analysis +
+        # optimization + AQE re-optimization, all single-threaded driver
+        # CPU linear in chain length × occurrences in the plan) measured
+        # as the DOMINANT cost of the fixed-level join queries at bench
+        # scale (r6).  `_leaf` here holds the LEVEL-L cell id, which is
+        # exactly the join key's preimage; no consumer of this branch
+        # dereferences it as a true leaf (coords='leaf' requires leaf_col).
+        pts = with_leaf_cell(points, lng, lat, "_leaf", level=int(level))
     else:
         # pure-Column Hilbert encode (functions/cells.with_leaf_cell):
         # the key derivation stays inside whole-stage codegen — no Arrow
@@ -657,8 +669,11 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     if key_col is not None:
         pass
     elif level is not None:
-        pts = pts.withColumn(
-            "_ck", cell_join_key(cell_parent(F.col("_leaf"), int(level))))
+        if leaf_col is not None:
+            pts = pts.withColumn(
+                "_ck", cell_join_key(cell_parent(F.col("_leaf"), int(level))))
+        else:
+            pts = pts.withColumn("_ck", cell_join_key(F.col("_leaf")))
     else:
         if prep is not None:
             levels = prep.levels
@@ -1055,17 +1070,36 @@ def spatial_count(points: DataFrame, regions, *,
         prep = regions
         region_id = prep.region_id
     else:
+        if covering_col not in regions.columns:
+            # the decomposition requires a fixed-`level` covering (points
+            # emit ONE key via their level-L ancestor); the adaptive
+            # covering prepare_regions_subdivided would attach silently
+            # never matches other levels (r5 ADVICE)
+            regions = regions.withColumn(
+                covering_col,
+                fixed_level_covering_udf(int(level))(F.col(region_geog)))
         prep = prepare_regions_subdivided(
             spark, regions, region_geog=region_geog, region_id=region_id,
             covering_col=covering_col)
+    if prep.levels and prep.levels != [int(level)]:
+        raise ValueError(
+            f"spatial_count(level={level}) requires a fixed-level-{level} "
+            f"covering on the dim side, but the prepared covering uses "
+            f"levels {prep.levels}: cells at other levels would silently "
+            "never match a point's single level-ancestor key "
+            "(undercounted or empty results)")
     ex = prep.exploded
     if leaf_col is not None:
-        pts = points.withColumn("_leaf", F.col(leaf_col))
+        pts = points.withColumn("_leaf", F.col(leaf_col)) \
+            .withColumn("_ckp", cell_join_key(
+                cell_parent(F.col("_leaf"), int(level))))
     else:
-        pts = with_leaf_cell(points, lng, lat, "_leaf")
-    pts = (pts.withColumn(
-        "_ckp", cell_join_key(cell_parent(F.col("_leaf"), int(level))))
-        .select("_ckp", lng, lat))
+        # level-truncated chain (see spatial_join): this query embeds the
+        # fact-side key derivation in BOTH branches (cell counts + boundary
+        # band), so chain length × 2 rides every Catalyst/AQE pass
+        pts = with_leaf_cell(points, lng, lat, "_leaf", level=int(level)) \
+            .withColumn("_ckp", cell_join_key(F.col("_leaf")))
+    pts = pts.select("_ckp", lng, lat)
     # term 1: full-cell mass — the fact's ONLY wide aggregation; the
     # shuffle after partial aggregation is one row per occupied cell
     cell_counts = pts.groupBy("_ckp").agg(F.count("*").alias("_n"))
@@ -1554,8 +1588,17 @@ def dwithin_join(points: DataFrame, regions: DataFrame, radius_m: float, *,
     from ..functions.cells import cell_level
     from ..functions.geo import s2_coveringcellids
 
+    # materialize the base covering ONCE (eager localCheckpoint): both the
+    # min-level aggregation and the buffered expansion read it, and a bare
+    # plan would re-run the covering UDF for each (measured: 2 full
+    # dim-side Python passes per query).  localCheckpoint rather than
+    # persist: CacheManager registration canonicalizes the full logical
+    # plan on every subsequent (un)persist/action — pure driver CPU that
+    # dominated the small-dim benches (r6) — while checkpoint blocks are
+    # plan-free and GC-released with the DataFrame.
     base_cov = regions.select(
-        region_id, s2_coveringcellids(F.col(region_geog)).alias("_bcov"))
+        region_id, s2_coveringcellids(F.col(region_geog)).alias("_bcov")) \
+        .localCheckpoint(eager=True)
     # the common coarsest level of the buffered covering is
     # min(base covering min level, level(radius)) — the radius part is pure
     # driver arithmetic (buffered_covering_level), so the only Spark job
@@ -1574,8 +1617,9 @@ def dwithin_join(points: DataFrame, regions: DataFrame, radius_m: float, *,
            .distinct()
            .withColumn("_ck", cell_join_key(F.col("_cell"))).drop("_cell"))
     cand = (points
-            .transform(lambda d: with_leaf_cell(d, lng, lat, "_leaf"))
-            .withColumn("_ck", cell_join_key(cell_parent(F.col("_leaf"), lev)))
+            .transform(lambda d: with_leaf_cell(d, lng, lat, "_leaf",
+                                                level=lev))
+            .withColumn("_ck", cell_join_key(F.col("_leaf")))
             .join(dim, "_ck").drop("_ck", "_leaf"))
     cand = cand.join(regions.select(region_id, region_geog), region_id)
     d = distance_to_geog_udf(F.col(region_geog), F.col(lng), F.col(lat))
@@ -1623,10 +1667,19 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
 
     cols = [point_id, lng, lat, region_id, distance_col, "knn_rank"]
     # the geography covering is radius-independent: compute it ONCE and
-    # persist; each round only expands it with vectorized cell math
+    # materialize with an eager localCheckpoint; each round only expands it
+    # with vectorized cell math.  localCheckpoint EVERYWHERE this operator
+    # used persist() (r6 optimization): CacheManager registration and the
+    # recache scan on every unpersist canonicalize the FULL logical plan of
+    # every live cache entry — with the Hilbert key chain in the lineage
+    # that is seconds of single-threaded driver CPU per call (measured
+    # 3-23 s in the 'anti' step alone, which runs NO Spark job).
+    # Checkpoint blocks carry no CacheManager entry, truncate the lineage
+    # so every downstream plan starts from a leaf, and are released by the
+    # ContextCleaner when the DataFrame is garbage-collected.
     base_cov = regions.select(
         region_id, s2_coveringcellids(F.col(region_geog)).alias("_bcov")) \
-        .persist()
+        .localCheckpoint(eager=True)
     # base-covering min level: ONE job up front; each round's common level
     # is then min(base_min, buffered_covering_level(radius)) driver-side —
     # no per-round collect() (the round-2 plan paid ~1-2 scheduling jobs
@@ -1635,13 +1688,13 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     base_min = base_cov.agg(
         F.min(F.array_min(F.transform(F.col("_bcov"), cell_level))).alias("l")
     ).collect()[0].l
-    # per-round persistence: each round's resolved set and the shrinking
-    # `remaining` are materialized once — without it the left_anti lineage
-    # chain recomputes every earlier round's candidate join + window on
-    # each action (observed 2x+ wall-clock on the sf0.1 bench)
+    # per-round materialization: each round's resolved set and the
+    # shrinking `remaining` are computed once — without it the left_anti
+    # lineage chain recomputes every earlier round's candidate join +
+    # window on each action (observed 2x+ wall-clock on the sf0.1 bench)
     remaining = points.select(point_id, lng, lat) \
         .transform(lambda d: with_leaf_cell(d, lng, lat, "_leaf")) \
-        .persist()
+        .localCheckpoint(eager=True)
     n_remaining = remaining.count()
     resolved_parts = []
     radius = float(init_radius_m)
@@ -1651,8 +1704,14 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     for _round in range(max(limit, 1)):
         if n_remaining == 0 or base_min is None:
             break
+        if _round > 0:
+            # truncate the previous round's anti-join lineage exactly when
+            # a next round will actually build on it (the last round's
+            # anti-join stays LAZY: with every point resolved it is never
+            # executed at all)
+            remaining = remaining.localCheckpoint(eager=True)
         # dim side: buffered covering at this radius (s2_covering_buffered
-        # analog, coverings.cc:80-87), expanded from the persisted base,
+        # analog, coverings.cc:80-87), expanded from the materialized base,
         # then normalized to the common coarsest level so one equi-join
         # key suffices
         covx = (base_cov
@@ -1678,18 +1737,16 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
                             & (F.col(distance_col) <= radius))
                .select(point_id).distinct())
         part = (ranked.join(kth, point_id, "left_semi")
-                .where(F.col("knn_rank") <= k).select(*cols).persist())
-        # ONE action per round: a resolved point contributes exactly k rows
-        # (rank 1..k all exist), so the remaining count is arithmetic —
+                .where(F.col("knn_rank") <= k).select(*cols)
+                .localCheckpoint(eager=True))
+        # a resolved point contributes exactly k rows (rank 1..k all
+        # exist), so the remaining count is arithmetic on the part count —
         # the round-2 loop paid a second count() job on the anti-join
         n_part = part.count()
         resolved_parts.append(part)
-        new_remaining = remaining.join(kth, point_id, "left_anti").persist()
+        remaining = remaining.join(kth, point_id, "left_anti")
         n_remaining -= n_part // k
-        remaining.unpersist()
-        remaining = new_remaining
         radius *= 2.0
-    base_cov.unpersist()
     parts = list(resolved_parts)
     if n_remaining > 0:
         fallback = knn_join(remaining.drop("_leaf"),
@@ -1698,7 +1755,6 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
                             region_geog=region_geog, distance_col=distance_col)
         parts.append(fallback.select(*cols))
     if not parts:
-        remaining.unpersist()
         return remaining.drop("_leaf").limit(0) \
             .withColumn(region_id, F.lit(None).cast("long")) \
             .withColumn(distance_col, F.lit(None).cast("double")) \
@@ -1706,25 +1762,12 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
-    if not materialize:
-        # LAZY contract: the plan reads the per-round persisted parts; the
-        # caller releases them after its first action via the attached
-        # handle (for df in out._knn_cached_parts: df.unpersist()).
-        # Callers that only sample or redirect the result avoid the full
-        # refine the eager default would pay here.
-        out._knn_cached_parts = resolved_parts + [remaining]
-        return out
-    # default: materialize the combined result once via localCheckpoint
-    # (RDD-level blocks with NO CacheManager entry — the ContextCleaner
-    # releases them when the returned DataFrame is garbage-collected, so
-    # the caller owes no unpersist), then release every per-round cached
-    # block (resolved parts + the final `remaining`) — repeated
-    # invocations in a long-lived session (bench runs 3x) do not
-    # accumulate cached blocks
-    out = out.localCheckpoint(eager=True)
-    for part in resolved_parts:
-        part.unpersist()
-    remaining.unpersist()
+    # the per-round parts are already materialized (checkpoint blocks, no
+    # CacheManager entries), so the union is lineage-free up to the
+    # optional fallback: no final re-materialization pass is needed for
+    # EITHER materialize mode, and there is nothing for the caller to
+    # unpersist — blocks are freed when the returned DataFrame (which
+    # references the part RDDs) is garbage-collected.
     return out
 
 

@@ -66,3 +66,34 @@ def test_leaf_column_parent_matches(spark):
                     .collect()], dtype=np.int64)
     want = C.parent(C.from_lnglat(lngs, lats), 8).view(np.int64)
     assert (got == want).all()
+
+
+def test_level_truncated_chain_matches_parent(spark):
+    """with_leaf_cell(level=L) (r6: the planning-cost-truncated chain —
+    only ceil((L+2)/4) Hilbert rounds) must be bit-identical to
+    parent(from_lnglat(...), L) at every level class: round-boundary
+    levels (2, 6), mid-round (8 — the join level every fixed-level query
+    uses), coarse (0, 1), and the full-chain fallbacks (27, 30)."""
+    rng = np.random.default_rng(20260822)
+    lngs = np.concatenate([rng.uniform(-180, 180, 2000),
+                           [0.0, 180.0, -180.0, 179.999999, -179.999999]])
+    lats = np.concatenate([rng.uniform(-90, 90, 2000),
+                           [90.0, -90.0, 0.0, 89.999999, -89.999999]])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lngs, lats)],
+        "lng double, lat double")
+    leaf = C.from_lnglat(lngs, lats)
+    for level in (0, 1, 2, 6, 8, 10, 27, 30):
+        got = np.array(
+            [r.c for r in with_leaf_cell(df, "lng", "lat", "c", level=level)
+             .select("c").collect()], dtype=np.int64)
+        want = (leaf if level == 30 else C.parent(leaf, level)).view(np.int64)
+        assert (got == want).all(), f"level {level}"
+
+
+def test_level_truncated_chain_nulls(spark):
+    df = spark.createDataFrame([(None, 1.0), (2.0, None), (3.0, 4.0)],
+                               "lng double, lat double")
+    rows = with_leaf_cell(df, "lng", "lat", "c", level=8) \
+        .select("c").collect()
+    assert rows[0].c is None and rows[1].c is None and rows[2].c is not None
