@@ -643,7 +643,8 @@ def q_events_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged fresh on EVERY invocation (10k rows, trivial): a _SUCCESS
     # guard keyed on the dir basename silently replayed a stale copy when
     # the source was regenerated or two sf_dirs shared a basename
-    staged = f"/tmp/s2stream_firstseen_{os.path.basename(sf_dir.rstrip('/'))}"
+    staged = (f"/tmp/s2stream_firstseen_{os.path.basename(sf_dir.rstrip('/'))}"
+              f"_{spark.sparkContext.applicationId}")
     ev.repartition(8).write.mode("overwrite").parquet(staged)
     stream = stream_events_from_parquet(spark, staged, ev.schema) \
         .withColumn("k", F.col("user_id").cast("string"))
@@ -688,7 +689,8 @@ def q_stream_region_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    staged = f"/tmp/s2stream_regionwin_{os.path.basename(sf_dir.rstrip('/'))}"
+    staged = (f"/tmp/s2stream_regionwin_{os.path.basename(sf_dir.rstrip('/'))}"
+              f"_{spark.sparkContext.applicationId}")
     ev.repartition(8).write.mode("overwrite").parquet(staged)
     stream = stream_events_from_parquet(spark, staged, ev.schema)
     pts = (stream
@@ -733,7 +735,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("digest").orderBy("doc_id")
     pdf = docs.withColumn("rank", F.row_number().over(w) - 1).toPandas()
 
-    staged = f"/tmp/s2stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}"
+    staged = (f"/tmp/s2stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}"
+              f"_{spark.sparkContext.applicationId}")
     shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged)
     ts = pd.Timestamp("2026-01-01")
@@ -1805,7 +1808,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.transform("embedding", lambda x: x.cast("double")).alias("q_vec")))
     corpus = emb.select("vec_id",
                         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
-    return brute_force_topk(corpus, queries, k=5).select("q_id", "rank", "vec_id")
+    # NOTE r6: an unrolled fixed-dim cosine measured 3x SLOWER here
+    # (planning + codegen compile of a ~400-node tree beats 64-element
+    # interpreted folds at this dim — similarity.dot_col docstring);
+    # the actual win is brute_force_topk pre-projecting the norms
+    # before the cross join (3.65 s -> ~1.5 s at sf1.0)
+    return brute_force_topk(corpus, queries, k=5) \
+        .select("q_id", "rank", "vec_id")
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

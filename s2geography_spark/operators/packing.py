@@ -63,7 +63,15 @@ def pack_chunks(df: DataFrame, *, text: str = "text",
         (F.col(id_col) % F.lit(int(n_shards))).cast("long")
     d = df.withColumn("_shard", shard) \
           .withColumn("_n", token_count(text))
-    w = Window.partitionBy("_shard").orderBy(id_col)
+    # ROWS frame, not the default RANGE frame: with duplicate id_col values
+    # in a shard, RANGE gives ties identical cumulative sums — overlapping
+    # token intervals, tokens double-assigned to chunks (r5 ADVICE).  The
+    # documented contract is a total order per shard; ROWS makes ties
+    # deterministic-per-partition-order instead of silently corrupting the
+    # packing.  id_col is unique in every supported input (doc ids), where
+    # ROWS == RANGE exactly.
+    w = Window.partitionBy("_shard").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = d.withColumn("_end", F.sum("_n").over(w)) \
          .withColumn("_start", F.col("_end") - F.col("_n")) \
          .where(F.col("_n") > 0)

@@ -23,29 +23,58 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
-def dot_col(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+def dot_col(a, b, dim: int | None = None):
+    """Dot product of two array columns.
+
+    With `dim` the product unrolls to a chain of element_at terms inside
+    whole-stage codegen; the chain folds left-to-right from a 0.0 seed,
+    exactly the aggregate() evaluation order, so results are bit-identical
+    to the generic form.  MEASURED NEGATIVE RESULT (r6, sf1.0, 20k x 10
+    pairs): the unrolled form is 3x SLOWER end-to-end (4.2 s vs 1.5 s per
+    brute_force_topk run) — a ~400-node expression tree pays more in
+    Catalyst planning + codegen compilation per run than the interpreted
+    aggregate lambda pays executing 64 elements x 200k rows.  The r4
+    '9x slower interpreted' lesson applies to folds over LONG arrays
+    (hundreds of geometry vertices), not dim-64 embeddings.  Callers
+    therefore default to dim=None; what actually made ann_topk fast was
+    projecting the NORMS before the pairing (see brute_force_topk)."""
+    if dim is None:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+    s = F.lit(0.0)
+    for i in range(1, int(dim) + 1):
+        s = s + F.element_at(a, i) * F.element_at(b, i)
+    return s
 
 
-def norm_col(a):
-    return F.sqrt(dot_col(a, a))
+def norm_col(a, dim: int | None = None):
+    return F.sqrt(dot_col(a, a, dim))
 
 
-def cosine_col(a, b):
-    return (dot_col(a, b) /
-            (F.greatest(norm_col(a), F.lit(1e-30)) *
-             F.greatest(norm_col(b), F.lit(1e-30)))).cast("double")
+def cosine_col(a, b, dim: int | None = None):
+    return (dot_col(a, b, dim) /
+            (F.greatest(norm_col(a, dim), F.lit(1e-30)) *
+             F.greatest(norm_col(b, dim), F.lit(1e-30)))).cast("double")
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                      corpus_id: str = "vec_id", query_id: str = "q_id",
                      corpus_vec: str = "embedding", query_vec: str = "q_vec",
-                     metric_col: str = "cosine") -> DataFrame:
+                     metric_col: str = "cosine",
+                     dim: int | None = None) -> DataFrame:
     """Exact top-k: crossJoin(broadcast(queries)) -> JVM-side cosine ->
-    window top-k per query.  O(|corpus| * |queries|) but fully codegen'd."""
-    pair = corpus.crossJoin(F.broadcast(queries))
-    pair = pair.withColumn(metric_col, cosine_col(F.col(corpus_vec), F.col(query_vec)))
+    window top-k per query.  O(|corpus| * |queries|) but fully codegen'd
+    when `dim` is given (see dot_col).  Norms are projected BEFORE the
+    pairing (guide §2.3 'project before the exchange' applied to the
+    cross join): each side's norm is computed once per ROW instead of
+    once per PAIR — |queries| times less work on the corpus-side norm."""
+    nc = F.greatest(norm_col(F.col(corpus_vec), dim), F.lit(1e-30))
+    nq = F.greatest(norm_col(F.col(query_vec), dim), F.lit(1e-30))
+    pair = corpus.withColumn("_cn", nc) \
+        .crossJoin(F.broadcast(queries.withColumn("_qn", nq)))
+    metric = (dot_col(F.col(corpus_vec), F.col(query_vec), dim) /
+              (F.col("_cn") * F.col("_qn"))).cast("double")
+    pair = pair.withColumn(metric_col, metric)
     w = Window.partitionBy(query_id).orderBy(F.col(metric_col).desc(),
                                              F.col(corpus_id).asc())
     return (pair.withColumn("rank", F.row_number().over(w))
@@ -146,7 +175,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int, *,
                        F.explode(keys(F.col(query_vec))).alias("_bucket"))
     pair = (c.join(q, "_bucket")
             .dropDuplicates([query_id, corpus_id]))
-    pair = pair.withColumn("cosine", cosine_col(F.col(corpus_vec), F.col(query_vec)))
+    pair = pair.withColumn("cosine",
+                           cosine_col(F.col(corpus_vec), F.col(query_vec)))
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(),
                                              F.col(corpus_id).asc())
     return (pair.withColumn("rank", F.row_number().over(w))
@@ -255,16 +285,25 @@ def embedding_near_duplicates(df: DataFrame, dim: int, *,
     exact/minhash first).  Pass stats_out={} to record how many hot
     buckets were dropped ('dropped_hot_buckets')."""
     keys = lsh_band_keys_udf(dim, bands, planes_per_band, seed)
-    withb = df.select(F.col(id_col), F.col(vec),
+    # ids-only through the banded self-join (guide §8: decide with small
+    # rows, move big rows once): the embedding payload used to ride BOTH
+    # sides of the bucket-keyed exchange x `bands` copies — ~2 x bands x
+    # dim x 8 B per vector of shuffle for a candidate set that is tiny by
+    # construction.  Now the exchange carries (bucket, id) = 16 B rows and
+    # the vectors are attached to the deduped candidate PAIRS by two id
+    # joins (AQE broadcasts the candidate side when it is small; in the
+    # degenerate case the hot-bucket cap bounds it).
+    withb = df.select(F.col(id_col),
                       F.explode(keys(F.col(vec))).alias("_bucket"))
     if max_bucket is not None:
         withb = _cap_hot_buckets(withb, "_bucket", max_bucket, stats_out)
-    a = withb.select(F.col("_bucket"), F.col(id_col).alias("a"),
-                     F.col(vec).alias("_va"))
-    b = withb.select(F.col("_bucket"), F.col(id_col).alias("b"),
-                     F.col(vec).alias("_vb"))
+    a = withb.select(F.col("_bucket"), F.col(id_col).alias("a"))
+    b = withb.select(F.col("_bucket"), F.col(id_col).alias("b"))
     cand = (a.join(b, "_bucket").where(F.col("a") < F.col("b"))
             .dropDuplicates(["a", "b"]))
-    return (cand.withColumn("cosine", cosine_col(F.col("_va"), F.col("_vb")))
+    va = df.select(F.col(id_col).alias("a"), F.col(vec).alias("_va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec).alias("_vb"))
+    return (cand.join(va, "a").join(vb, "b")
+            .withColumn("cosine", cosine_col(F.col("_va"), F.col("_vb")))
             .where(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))

@@ -793,7 +793,8 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                     f"({sub_prep.state_cells} cells, "
                     f"{sub_prep.state_bytes} bytes); use "
                     "refine_mode='subdivided'")
-        elif refine_mode != "subdivided":
+        n_state_cells = sub_prep.state_cells if sub_prep is not None else None
+        if refine_mode != "subdivided" and sub_prep is None:
             # the 100 TB answer for a dim whose WKB can NOT broadcast: the
             # per-cell SUBDIVIDED state (~150 B/boundary cell, no polygon
             # bytes anywhere) usually still CAN — broadcasting it keeps the
@@ -809,6 +810,7 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             stats = exploded.agg(
                 F.count("*").alias("n"),
                 F.sum(F.octet_length("_state")).alias("b")).collect()[0]
+            n_state_cells = int(stats.n or 0)
             fits = int(stats.n or 0) <= MAX_BROADCAST_INDEX_ROWS and \
                 int(stats.b or 0) <= MAX_BROADCAST_DIM_BYTES
             if refine_mode == "subdivided_auto":
@@ -874,6 +876,21 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
             # the boundary join side, and the boundary key set would each
             # re-run the per-region subdivided_state_udf otherwise
             exploded = exploded.localCheckpoint(eager=True)
+            if n_state_cells is None:
+                # explicit refine_mode='subdivided' skipped the auto-stats
+                # action; the checkpointed count is one trivial job
+                n_state_cells = exploded.count()
+        if prefilter and n_state_cells is not None and \
+                n_state_cells > MAX_BROADCAST_INDEX_ROWS:
+            # r5 ADVICE: prefilter=True used to broadcast ex_f — the
+            # full-cell dim slice with ALL region payload columns —
+            # unconditionally, ignoring every broadcast guard; a huge dim
+            # could OOM the driver/executors.  When the exploded cell count
+            # overflows the index guard (the same bound the 8 B/cell key
+            # set and the ~24 B/cell interior map share), fall back to the
+            # non-prefilter ReuseExchange form: both slices hash-join the
+            # identical fact child and the fact shuffle materializes once.
+            prefilter = False
         ex_f = exploded.where(F.col("_full")).drop("_state")
         ex_b = exploded.where(~F.col("_full"))
         if prefilter:

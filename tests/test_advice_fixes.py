@@ -273,3 +273,88 @@ def test_dedup_queries_cached_blocks_bounded(spark, tmp_path):
     for key in list(E._LIVE_CACHE):
         E._LIVE_CACHE.pop(key)[1].unpersist(blocking=True)
     assert n_cached() <= base
+
+
+# ---------------------------------------------------------------------------
+# r5 ADVICE fixes (applied in the r6 optimization round)
+# ---------------------------------------------------------------------------
+
+def test_pack_chunks_duplicate_ids_no_overlap(spark):
+    """ROWS window frame (r5 ADVICE): duplicate id_col values in a shard
+    must still partition the token stream — the default RANGE frame gave
+    ties identical cumulative sums, double-assigning tokens to chunks."""
+    from pyspark.sql import functions as F
+    from s2geography_spark.operators.packing import pack_chunks
+    rows = [(1, "one two three", 0), (1, "four five", 0),
+            (2, "a b c d e f g", 0), (1, "x y", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, shard int")
+    out = pack_chunks(df, text="text", id_col="doc_id", shard_col="shard",
+                      capacity=4).collect()
+    total_tokens = 3 + 2 + 7 + 2
+    # every token position is covered exactly once across all rows
+    assert sum(r.tok_end - r.tok_start for r in out) == total_tokens
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append((r.tok_start, r.tok_end))
+    for shard, spans in per_shard.items():
+        spans.sort()
+        for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+            assert e0 <= s1, f"overlapping spans in shard {shard}: " \
+                f"{(s0, e0)} vs {(s1, e1)}"
+
+
+def test_spatial_count_rejects_wrong_level_covering(spark):
+    """spatial_count must refuse a covering whose levels differ from the
+    requested fixed level (r5 ADVICE: cells at other levels silently never
+    match a point's single-level key -> undercount)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from s2geography_spark.operators.spatial_join import spatial_count
+    from s2geography_spark.sources.regions import regions_df
+    pts = spark.createDataFrame([(0.5, 0.5)], "lng double, lat double")
+    regions = regions_df(spark, 8, covering_level=6)
+    with pytest.raises(ValueError, match="fixed-level-8"):
+        spatial_count(pts, regions, level=8).collect()
+
+
+def test_spatial_count_builds_fixed_level_covering(spark):
+    """Without a covering column spatial_count must attach a FIXED-level
+    covering (the adaptive one never matches the point keys)."""
+    from pyspark.sql import functions as F
+    from s2geography_spark.operators.spatial_join import (spatial_count,
+                                                          spatial_join)
+    from s2geography_spark.sources.regions import regions_df
+    regions = regions_df(spark, 8, covering_level=8)
+    pts_rows = [(float(x) + 0.125, float(y) + 0.125)
+                for x in range(-20, 20, 3) for y in range(-10, 10, 3)]
+    pts = spark.createDataFrame(pts_rows, "lng double, lat double")
+    bare = regions.drop("covering")
+    got = {(r.region_id, r.n) for r in
+           spatial_count(pts, bare, level=8).collect()}
+    want_rows = spatial_join(pts, regions, predicate="contains", level=8) \
+        .groupBy("region_id").count().collect()
+    want = {(r.region_id, r["count"]) for r in want_rows}
+    assert got == want
+
+
+def test_subdivided_prefilter_guard_falls_back(spark, monkeypatch):
+    """r5 ADVICE: prefilter=True must not broadcast the full-cell dim
+    slice unconditionally.  With the index guard forced below the cell
+    count, the join must fall back to the non-prefilter plan and still
+    produce identical rows."""
+    from s2geography_spark.operators import spatial_join as sj
+    from s2geography_spark.sources.regions import regions_df
+    pts_rows = [(float(x) + 0.125, float(y) + 0.125)
+                for x in range(-178, 178, 5) for y in range(-68, 68, 5)]
+    pts = spark.createDataFrame(pts_rows, "lng double, lat double")
+    regions = regions_df(spark, 16, covering_level=6)
+    want = {(r.lng, r.lat, r.region_id) for r in
+            sj.spatial_join(pts, regions, broadcast=False, level=6,
+                            refine_mode="subdivided", prefilter=True)
+            .select("lng", "lat", "region_id").collect()}
+    monkeypatch.setattr(sj, "MAX_BROADCAST_INDEX_ROWS", 1)
+    got = {(r.lng, r.lat, r.region_id) for r in
+           sj.spatial_join(pts, regions, broadcast=False, level=6,
+                           refine_mode="subdivided", prefilter=True)
+           .select("lng", "lat", "region_id").collect()}
+    assert got == want and len(got) > 0
