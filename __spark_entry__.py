@@ -1608,13 +1608,18 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
                                path, F.lit("?gclid=1"), F.lit("&b="), y,
                                F.lit("&a="), x)))
     urls = docs.select("doc_id", url.alias("url"))
+    # ONE pass through the regexp chain (r6): canonical + host are
+    # projected once; reg_domain derives from the host ATTRIBUTE and the
+    # dedup groups derive from the same projection via canon_col — the
+    # old shape generated (and codegen-compiled) the full canonicalizer
+    # twice per run, which dominated this 600-row query's time
     per_doc = urls.select(
         "doc_id",
         canonical_url("url").alias("canon_url"),
-        url_host("url").alias("host"),
-        registered_domain(url_host("url")).alias("reg_domain"))
-    groups = url_dedup_groups(urls).select("canon_url", "n_docs",
-                                           "keep_id")
+        url_host("url").alias("host")) \
+        .withColumn("reg_domain", registered_domain(F.col("host")))
+    groups = url_dedup_groups(per_doc, canon_col="canon_url") \
+        .select("canon_url", "n_docs", "keep_id")
     return per_doc.join(F.broadcast(groups), "canon_url") \
         .select("doc_id", "canon_url", "host", "reg_domain", "n_docs",
                 "keep_id")

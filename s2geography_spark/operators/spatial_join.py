@@ -293,7 +293,18 @@ class DimTooLargeError(ValueError):
 def dim_broadcast_stats(regions: DataFrame, region_geog: str,
                         covering_col: str = None):
     """(row_count, approx_geog_bytes, exploded_cell_count) in ONE small
-    aggregation job; cell count is None when covering_col isn't given."""
+    aggregation job; cell count is None when covering_col isn't given.
+
+    A source that already knows its stats (regions_df, or any catalog-
+    backed table following the Iceberg table-statistics pattern) can
+    attach `df._s2_dim_stats = (rows, geog_bytes, covering_cells)` and
+    the job is skipped — derived DataFrames (select/filter) drop the
+    attribute, so stale stats cannot leak through transformations."""
+    st = getattr(regions, "_s2_dim_stats", None)
+    if st is not None:
+        n, b, c = st
+        has_cov = covering_col is not None and covering_col in regions.columns
+        return int(n), int(b), (int(c) if has_cov else None)
     aggs = [F.count("*").alias("n"),
             F.sum(F.octet_length(F.col(region_geog).cast("binary"))).alias("b")]
     if covering_col is not None and covering_col in regions.columns:

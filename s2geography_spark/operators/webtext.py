@@ -204,13 +204,22 @@ def cap_per_group(df: DataFrame, keys, order_by, k: int,
 
 
 def url_dedup_groups(df: DataFrame, url: str = "url",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     canon_col: str | None = None) -> DataFrame:
     """Group rows by canonical URL: one row per group with the member
     count and the minimum id as the canonical keeper.  Plain hash groupBy
     on a codegen'd key — partial aggregation map-side, one exchange on the
-    canonical key, no skew risk beyond genuinely mass-duplicated URLs."""
+    canonical key, no skew risk beyond genuinely mass-duplicated URLs.
+
+    canon_col: name of an ALREADY-computed canonical-URL column (r6: a
+    caller that also projects per-row canonical columns should derive the
+    groups from that projection instead of paying the full regexp chain —
+    and its codegen compilation — a second time)."""
+    if canon_col is None:
+        df = df.withColumn("canon_url", canonical_url(url))
+    elif canon_col != "canon_url":
+        df = df.withColumn("canon_url", F.col(canon_col))
     return (df
-            .withColumn("canon_url", canonical_url(url))
             .groupBy("canon_url")
             .agg(F.count("*").alias("n_docs"),
                  F.min(id_col).alias("keep_id")))
