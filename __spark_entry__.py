@@ -1934,26 +1934,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All 66 declared queries.  ORDERING CONTRACT (r5 verdict item 1/8):
+    the driver's correctness gate checks the FIRST 50 entries, so the dict
+    is ordered by oracle-coverage priority, not by topic —
+
+      1. the six pipeline queries that had NEVER had an oracle row
+         (corpus_filter .. ivf_topk),
+      2. the ten formerly-green queries whose rows went stale when round 5
+         pushed them past the cap (dedup_exact .. events_sessions),
+      3. the unique-capability geo/streaming/media queries,
+      4. TAIL (outside a 50-query window): stable since round <=4 AND
+         redundantly covered — each one's kernels are load-bearing
+         dependencies of queries that stay in the window (e.g.
+         geo_pip_counts == the in-window pip_pairs rollup and the
+         counts_agg oracle; geo_knn_dense emits the identical 1503 rows
+         as geo_knn; st_distance/closest-point/interpolation are inside
+         the in-window knn/dwithin/zm_interp oracles), plus pytest
+         goldens.
+
+    Future rounds: NEW queries go into section 3, never before section 1
+    until every query has had a green row; rotate section 4 only."""
     return {
+        # -- 1: never oracle-checked before round 6 ------------------------
+        "corpus_filter": q_corpus_filter,
+        "domain_quota": q_domain_quota,
+        "url_canon": q_url_canon,
+        "html_text": q_html_text,
+        "dedup_clusters": q_dedup_clusters,
+        "ivf_topk": q_ivf_topk,
+        # -- 2: green in r4, starved of a row in r5 ------------------------
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lineitem_agg": q_lineitem_agg,
+        "top_customers": q_top_customers,
+        "events_window": q_events_window,
+        "events_sessions": q_events_sessions,
+        # -- 3: unique-capability oracles ----------------------------------
         "geo_pip_pairs": q_geo_pip_pairs,
-        "geo_pip_counts": q_geo_pip_counts,
         "geo_pip_counts_agg": q_geo_pip_counts_agg,
         "geo_knn": q_geo_knn,
-        "geo_knn_dense": q_geo_knn_dense,
         "geo_centroid_nation": q_geo_centroid_nation,
         "geo_tiles_z8": q_geo_tiles_z8,
-        "geo_s2_tiles_l8": q_geo_s2_tiles_l8,
         "vector_tiles_z6": q_vector_tiles_z6,
         "geo_bbox_nation": q_geo_bbox_nation,
-        "geo_overlap_area": q_geo_overlap_area,
         "geo_overlay_adjacent": q_geo_overlay_adjacent,
         "geo_dwithin_500km": q_geo_dwithin_500km,
-        "geo_distance_km": q_geo_distance_km,
-        "geo_buffer_area": q_geo_buffer_area,
         "geo_convex_hull": q_geo_convex_hull,
         "geo_maxdistance": q_geo_maxdistance,
-        "geo_closest_point": q_geo_closest_point,
-        "geo_line_interp": q_geo_line_interp,
         "geo_zm_interp": q_geo_zm_interp,
         "checkpoint_resume": q_checkpoint_resume,
         "snapshot_reads": q_snapshot_reads,
@@ -1964,43 +1995,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_region_window": q_stream_region_window,
         "seq_packing": q_seq_packing,
         "text_quality": q_text_quality,
-        "hex_tiles": q_hex_tiles,
         "projections": q_projections,
         "geo_rebuild_agg": q_geo_rebuild_agg,
-        "geo_perimeter": q_geo_perimeter,
         "geo_predicates": q_geo_predicates,
         "geo_difference": q_geo_difference,
-        "geo_shortestline": q_geo_shortestline,
-        "geo_simplify": q_geo_simplify,
-        "geo_wkt_io": q_geo_wkt_io,
-        "geo_accessors": q_geo_accessors,
-        "geo_union_pos": q_geo_union_pos,
         "geo_box_valid": q_geo_box_valid,
         "s2_tagged_io": q_s2_tagged_io,
         "geoarrow_io": q_geoarrow_io,
-        "geo_reduce_precision": q_geo_reduce_precision,
         "s2_cell_ops": q_s2_cell_ops,
         "s2_cell_geom": q_s2_cell_geom,
         "simhash_banded": q_simhash_banded,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "text_repetition": q_text_repetition,
-        "corpus_filter": q_corpus_filter,
-        "domain_quota": q_domain_quota,
-        "url_canon": q_url_canon,
-        "html_text": q_html_text,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "ann_topk": q_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "lineitem_agg": q_lineitem_agg,
-        "top_customers": q_top_customers,
-        "events_window": q_events_window,
-        "events_sessions": q_events_sessions,
+        # -- 4: stable + redundantly-covered tail (see docstring) ----------
+        "geo_pip_counts": q_geo_pip_counts,
+        "geo_knn_dense": q_geo_knn_dense,
+        "geo_s2_tiles_l8": q_geo_s2_tiles_l8,
+        "geo_distance_km": q_geo_distance_km,
+        "geo_closest_point": q_geo_closest_point,
+        "geo_line_interp": q_geo_line_interp,
+        "geo_overlap_area": q_geo_overlap_area,
+        "geo_perimeter": q_geo_perimeter,
+        "geo_union_pos": q_geo_union_pos,
+        "geo_reduce_precision": q_geo_reduce_precision,
+        "geo_simplify": q_geo_simplify,
+        "geo_shortestline": q_geo_shortestline,
+        "geo_buffer_area": q_geo_buffer_area,
+        "hex_tiles": q_hex_tiles,
+        "geo_wkt_io": q_geo_wkt_io,
+        "geo_accessors": q_geo_accessors,
     }
 
 
