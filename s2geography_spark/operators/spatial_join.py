@@ -550,7 +550,8 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                  key_col: Optional[str] = None,
                  refine_mode: str = "auto",
                  coords: str = "lnglat",
-                 prefilter: bool = True) -> DataFrame:
+                 prefilter: bool = True,
+                 sort_boundary: bool = False) -> DataFrame:
     """Join each point row to every region whose polygon satisfies
     `predicate` (contains/intersects) — the engine's flagship operator.
 
@@ -935,6 +936,17 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
                 "_salt_r", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
         cand_b = ptsb.join(ex_b.hint("SHUFFLE_HASH"),
                            _cond(ex_b, ptsb, bool(salt)), "inner")
+        if sort_boundary:
+            # r5 verdict item 4 experiment: cluster same-cell candidates
+            # within each post-join partition so the parity refine's
+            # per-batch state factorization sees long same-blob runs.
+            # MEASURED NEGATIVE RESULT (r6, 50M mentions, local[32],
+            # interleaved A/B): median 2.24 s -> 3.76 s — the partition-
+            # local sort of candidate rows costs more than the locality
+            # it buys (pd.factorize over the binary blob column already
+            # groups at C speed without any ordering).  Kept opt-in,
+            # default OFF; see OPTIMIZATION_r06.md.
+            cand_b = cand_b.sortWithinPartitions("_ck")
         refined_b = cand_b.where(F.coalesce(refine, F.lit(False)))
         if cand_f is None:
             ex_fs = ex_f.withColumn(
