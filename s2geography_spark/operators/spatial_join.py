@@ -1787,10 +1787,13 @@ def knn_join_covering(points: DataFrame, regions: DataFrame, k: int, *,
         w = W.partitionBy(point_id).orderBy(F.col(distance_col).asc(),
                                             F.col(region_id).asc())
         ranked = cand.withColumn("knn_rank", F.row_number().over(w))
-        # resolved: the k-th nearest candidate is within the proven radius
+        # resolved: the k-th nearest candidate is within the proven radius.
+        # No distinct(): row_number emits EXACTLY one rank-k row per
+        # point_id, so the key set is unique by construction — the
+        # distinct was a full extra exchange per round (guide §2.4)
         kth = (ranked.where((F.col("knn_rank") == k)
                             & (F.col(distance_col) <= radius))
-               .select(point_id).distinct())
+               .select(point_id))
         part = (ranked.join(kth, point_id, "left_semi")
                 .where(F.col("knn_rank") <= k).select(*cols)
                 .localCheckpoint(eager=True))

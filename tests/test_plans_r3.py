@@ -139,11 +139,13 @@ def test_bucketed_fact_join_subdivided_no_fact_exchange(spark):
 
 
 def test_spatial_count_partial_agg_before_exchange(spark):
-    """spatial_count's 100 TB claim, plan-asserted: the fact side's wide
-    aggregation is keyed on the cell key with a map-side partial_count
-    (the exchange carries per-cell rows, not points), the dim joins are
-    broadcasts, and the refine Python node exists only on the boundary
-    band (downstream of a broadcast semi join)."""
+    """spatial_count's 100 TB claim, plan-asserted (r6 one-exchange
+    shape): both dim terms join through BROADCAST hash joins (fact side
+    map-only), the single shuffle Exchange is the final rollup whose
+    map-side partial_count bounds it at <= one row per (task, region),
+    and — because the boundary join is itself a broadcast — there is NO
+    semi-join stage left in the plan (it would protect an exchange that
+    does not exist)."""
     from s2geography_spark.operators.spatial_join import spatial_count
     from s2geography_spark.sources.regions import regions_df
     pts = spark.createDataFrame([(1, 10.0, 10.0)],
@@ -151,9 +153,13 @@ def test_spatial_count_partial_agg_before_exchange(spark):
     cnt = spatial_count(pts, regions_df(spark, 24, covering_level=8),
                         level=8)
     plan = _plan(cnt)
-    assert "partial_count" in plan       # map-side combine on the fact
+    assert "partial_count" in plan       # map-side combine before the rollup
     assert "BroadcastHashJoin" in plan   # dim terms broadcast
-    assert "LeftSemi" in plan            # boundary band pruned pre-refine
+    assert "LeftSemi" not in plan        # redundant under broadcast state
+    # exactly ONE shuffle exchange: the final region rollup
+    n_exchange = sum(1 for ln in plan.splitlines()
+                     if "Exchange hashpartitioning" in ln)
+    assert n_exchange == 1, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
