@@ -383,7 +383,13 @@ class PreparedRegions:
         # cost of the cold flagship join (3-11 s of its 12-17 s total).
         other_cols = [c for c in regions.columns
                       if c not in (covering_col, region_geog)]
-        rows = regions.collect()
+        # a source that carries its rows driver-side (regions_df sidecar,
+        # same pattern as _s2_dim_stats) skips the collect round-trip of
+        # data the driver already holds; any transformation drops the
+        # attribute, so this can never serve stale rows
+        rows = getattr(regions, "_s2_dim_rows", None)
+        if rows is None:
+            rows = regions.collect()
         wkb_map = {}
         exploded_rows = []
         levels = set()

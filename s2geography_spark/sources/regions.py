@@ -93,6 +93,12 @@ def regions_df(spark: SparkSession, n_regions: int = 96,
         len(rows),
         sum(len(r[5]) for r in rows if r[5] is not None),
         sum(len(r[6]) for r in rows if r[6] is not None))
+    # the rows themselves, keyed by column name: PreparedRegions collects
+    # the (guarded-small) dim to the driver — but for this source the
+    # driver BUILT the rows, so the collect job is a round-trip of data
+    # the process already holds (r6; ~0.35 s per flagship prep)
+    cols = ("region_id", "lng0", "lat0", "lng1", "lat1", "geog", "covering")
+    df._s2_dim_rows = [dict(zip(cols, r)) for r in rows]
     return df
 
 
