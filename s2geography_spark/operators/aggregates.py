@@ -69,22 +69,41 @@ def _hull_partial(pdf_wkbs) -> bytes:
     return to_wkb(s2_convex_hull(Geog(points=sphere.xyz_to_lnglat(allv))))
 
 
+def _map_side_partials(df: DataFrame, value_col: str, group_cols: list[str],
+                       out_col: str, partial_fn) -> DataFrame:
+    """One partial per (Arrow batch, group) via mapInPandas — a TRUE
+    map-side combine with NO exchange of the input rows (r6: the previous
+    groupBy(group, spark_partition_id()) 'partial' still hash-exchanged
+    every input row to build the partials; the whole point of a two-phase
+    aggregate is that the only shuffle carries partials)."""
+    fields = df.select(*group_cols).schema
+    schema = T.StructType(list(fields)
+                          + [T.StructField(out_col, T.BinaryType())])
+    src = df.select(*group_cols, value_col)
+
+    def partial_map(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for keys, sub in pdf.groupby(list(group_cols), sort=False,
+                                         dropna=False):
+                if not isinstance(keys, tuple):
+                    keys = (keys,)
+                recs.append((*keys, partial_fn(sub[value_col])))
+            yield pd.DataFrame(recs, columns=[*group_cols, out_col])
+
+    return src.mapInPandas(partial_map, schema), schema
+
+
 def convex_hull_agg(df: DataFrame, geog: str, group_cols: list[str]) -> DataFrame:
     """ST_ConvexHull_Agg (S2ConvexHullAggregator analog, accessors-geog.h:
-    26-35): two-phase — partial hull per (group, partition) via
-    applyInPandas over salted subgroups, then final hull of hull vertices.
-    The shuffle carries only partial-hull vertices (<= input)."""
-    salted = df.withColumn("_p", F.spark_partition_id())
-
-    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = {c: pdf[c].iloc[0] for c in group_cols}
-        out = {**{c: [keys[c]] for c in group_cols},
-               "hull": [_hull_partial(pdf[geog])]}
-        return pd.DataFrame(out)
-
-    fields = df.select(*group_cols).schema
-    schema1 = T.StructType(list(fields) + [T.StructField("hull", T.BinaryType())])
-    partials = salted.groupBy(*group_cols, "_p").applyInPandas(partial, schema1)
+    26-35): two-phase — MAP-SIDE partial hull per (batch, group) via
+    mapInPandas (no exchange of input points), then final hull of hull
+    vertices.  The only shuffle carries partial-hull vertices (<= input;
+    hull-of-hulls == hull of the union, so batch granularity is free)."""
+    partials, schema1 = _map_side_partials(df, geog, group_cols, "hull",
+                                           _hull_partial)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = {c: pdf[c].iloc[0] for c in group_cols}
@@ -110,16 +129,14 @@ def union_agg(df: DataFrame, geog: str, group_cols: list[str]) -> DataFrame:
             acc = g if acc is None else s2_union(acc, g)
         return to_wkb(acc if acc is not None else Geog(typ=7))
 
-    fields = df.select(*group_cols).schema
-    schema1 = T.StructType(list(fields) + [T.StructField("geog_union", T.BinaryType())])
-
-    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = {c: pdf[c].iloc[0] for c in group_cols}
-        return pd.DataFrame({**{c: [keys[c]] for c in group_cols},
-                             "geog_union": [merge_series(pdf[geog])]})
-
-    salted = df.withColumn("_p", F.spark_partition_id())
-    partials = salted.groupBy(*group_cols, "_p").applyInPandas(partial, schema1)
+    # map-side partials (see _map_side_partials): union is associative and
+    # commutative for the supported inputs (point/line collections and
+    # disjoint polygons), and every consumer metric (max-distance,
+    # area/point-on-surface) is grouping-insensitive — the previous
+    # per-partition grouping already merged partials in nondeterministic
+    # shuffle-arrival order
+    partials, schema1 = _map_side_partials(df, geog, group_cols,
+                                           "geog_union", merge_series)
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = {c: pdf[c].iloc[0] for c in group_cols}

@@ -6,6 +6,7 @@ entry on Spark at sf0.01 and compare against oracle_sql() in DuckDB
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -15,7 +16,7 @@ import duckdb  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
 from s2geography_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_ORACLES_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
