@@ -628,7 +628,12 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
              .select(F.greatest("u", "v").alias("u"),
                      F.least("u", "v").alias("v"))
              .distinct())
-        e = e.localCheckpoint(eager=True)
+        # LAZY checkpoint + immediate signature aggregate: the signature
+        # action materializes the checkpoint as its side effect, so each
+        # round runs ONE job instead of two (r6; the loop at sf0.1 ran
+        # 84 jobs per invocation, ~2 per round of which one was the
+        # eager-checkpoint materialization the signature re-read)
+        e = e.localCheckpoint(eager=False)
         cur = _sig(e)
         if cur == prev:
             break
